@@ -1,0 +1,90 @@
+"""apply_epoch: the whole CDC apply for one micro-batch (SURVEY.md §3.1).
+
+Pure function of (batch contents, epoch_id, lake state): normalize ->
+validate/quarantine -> LWW dedup -> salted repartition -> MERGE (which
+atomically commits data + ledger + lineage). Both the streaming path
+(foreachBatch) and the deterministic replay path call exactly this.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_engine.config import CdcConfig
+from cdc_engine.dedup import lww_dedup
+from cdc_engine.lake import SnapLake
+from cdc_engine.normalize import apply_mapping
+from cdc_engine.salt import salted_repartition
+
+
+def apply_epoch(
+    spark: SparkSession,
+    lake: SnapLake,
+    batch_df: DataFrame,
+    epoch_id: int,
+    cfg: CdcConfig | None = None,
+    quarantine_dir: str | None = None,
+) -> dict[str, Any] | None:
+    """Apply one epoch; returns commit stats, or None if the epoch was
+    already committed / the batch is empty (both are safe no-ops)."""
+    cfg = cfg or CdcConfig()
+    if str(epoch_id) in lake.manifest()["ledger"]:
+        return None  # idempotence fast-path before any Spark work (J4)
+
+    df = apply_mapping(batch_df, cfg.column_mapping)
+
+    # P4: null-safe key guard — LWW is undefined for null url/warc_ts/seq
+    valid = F.col("url").isNotNull() & F.col("warc_ts").isNotNull() & F.col("seq").isNotNull()
+    if cfg.quarantine_invalid:
+        bad = df.where(~valid)
+        if quarantine_dir is not None:
+            bad.write.mode("append").parquet(os.path.join(quarantine_dir, f"epoch={epoch_id}"))
+        df = df.where(valid)
+
+    if df.isEmpty():
+        return None
+
+    # pre-dedup per-source-partition input stats: ledger/lineage must record
+    # the FULL consumed offset range and row/byte counts (S6/S7), not just
+    # LWW winners. One narrow aggregate pass (seq/source_partition/html-len).
+    sp = F.col("source_partition").cast("int") if "source_partition" in df.columns else F.lit(None).cast("int")
+    input_stats = [
+        {
+            "partition_id": None if r["pid"] is None else int(r["pid"]),
+            "rows_in": int(r["rows_in"]),
+            "first_seq": int(r["first_seq"]),
+            "last_seq": int(r["last_seq"]),
+            "bytes": int(r["bytes"]),
+        }
+        for r in (
+            df.groupBy(sp.alias("pid"))
+            .agg(
+                F.count("*").alias("rows_in"),
+                F.min("seq").alias("first_seq"),
+                F.max("seq").alias("last_seq"),
+                F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).alias("bytes"),
+            )
+            .collect()
+        )
+    ]
+
+    # W1: one row per url — MUST precede merge (multiple source matches per
+    # target row would make the merge nondeterministic; SURVEY.md §4 inv. 1)
+    df = lww_dedup(
+        df,
+        key="url",
+        ts="warc_ts",
+        seq="seq",
+        strategy=cfg.dedup_strategy,
+        salt_buckets=cfg.salt_buckets,
+    )
+
+    # J6: optional explicit pre-merge shuffle on hash(url); the dedup above
+    # already leaves the batch hash-partitioned on url, so default is off
+    if cfg.repartition_urls:
+        df = salted_repartition(df, "url", cfg.repartition_urls)
+
+    return lake.merge(spark, df, epoch_id, input_stats=input_stats)

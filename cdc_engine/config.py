@@ -1,0 +1,41 @@
+"""Typed configuration for the CDC engine (SURVEY.md §7.5)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CdcConfig:
+    """Tuning + semantics knobs for one ingest/replay pipeline.
+
+    All defaults are sized for the sandbox (local[32], sf<=0.1 fixtures);
+    on a real cluster scale ``n_buckets`` / ``shuffle_partitions`` /
+    ``salt_buckets`` with executor count (see BENCH/BASELINE.md).
+    """
+
+    # deterministic epoch cutting for the bounded replay path: epoch k owns
+    # seqs [k*events_per_epoch, (k+1)*events_per_epoch)  (SURVEY.md §3.2)
+    events_per_epoch: int = 5_000
+
+    # SnapLake layout: data files are bucketed by pmod(xxhash64(url), n_buckets)
+    # so MERGE only rewrites touched buckets (Iceberg bucket-partition analog)
+    n_buckets: int = 16
+
+    # LWW dedup strategy: "maxby" (hash-agg, map-side partial) or "window"
+    dedup_strategy: str = "maxby"
+
+    # two-level salted aggregation for hot-key skew (0 disables the salt stage)
+    salt_buckets: int = 0
+
+    # explicit pre-merge repartition on pmod(xxhash64(url), P); 0 = let AQE decide
+    repartition_urls: int = 0
+
+    # column-mapping normalizer: {wal_column_name: table_column_name}
+    column_mapping: dict[str, str] = field(default_factory=dict)
+
+    # quarantine rows with null url/warc_ts instead of failing the epoch
+    quarantine_invalid: bool = True
+
+    # rewrite a bucket when it accumulates more than this many data files
+    compact_after_files: int = 8

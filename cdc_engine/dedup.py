@@ -1,0 +1,62 @@
+"""W1: url-keyed last-writer-wins dedup over (warc_ts, seq) (SURVEY.md §2.5).
+
+Total order per key: (warc_ts, seq) — seq is a unique WAL offset, so ties
+are impossible and the survivor is deterministic under any input permutation
+(the byte-identical-replay cornerstone, BASELINE.json:6).
+
+Two strategies, identical results (tested):
+  - "maxby": groupBy(key).agg(max_by(payload_struct, order_struct)).
+    Hash aggregate with map-side partial combine — one shuffle whose
+    volume is already reduced per-key on the map side; the default and the
+    scale path (duplicate-heavy batches shrink before the wire).
+  - "window": row_number() over Window.partitionBy(key).orderBy(desc...).
+    The literal spec wording; full shuffle + per-partition sort.
+
+Optional two-level salted variant for hot keys (J6): pre-aggregate on
+(key, salt) then re-aggregate on key — bounds any single reducer's input
+at batch_size/salt_buckets per hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _order_struct(ts: str, seq: str):
+    return F.struct(F.col(ts), F.col(seq))
+
+
+def lww_dedup(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    seq: str = "seq",
+    strategy: str = "maxby",
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """One row per ``key``: the event with max (ts, seq). Schema preserved."""
+    if strategy == "window":
+        w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col(seq).desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    if strategy != "maxby":
+        raise ValueError(f"unknown dedup strategy: {strategy}")
+
+    payload = [c for c in df.columns if c != key]
+    winner = F.max_by(F.struct(*payload), _order_struct(ts, seq)).alias("_w")
+
+    if salt_buckets and salt_buckets > 1:
+        # level 1: per (key, salt) — salt derived from seq so it is
+        # deterministic and spreads a hot key over salt_buckets reducers
+        salt = F.pmod(F.xxhash64(F.col(seq)), F.lit(salt_buckets)).alias("_salt")
+        l1 = df.select(key, salt.alias("_salt"), *payload).groupBy(key, "_salt").agg(winner)
+        # level 2: collapse salts; order key lives inside the struct
+        l2 = l1.groupBy(key).agg(
+            F.max_by(F.col("_w"), F.struct(F.col(f"_w.{ts}"), F.col(f"_w.{seq}"))).alias("_w")
+        )
+        return l2.select(key, "_w.*").select(*df.columns)
+
+    return df.groupBy(key).agg(winner).select(key, "_w.*").select(*df.columns)

@@ -1,0 +1,473 @@
+"""SnapLake: a from-scratch snapshot-versioned lake table (SURVEY.md §7.2).
+
+The spec targets Iceberg (BASELINE.json:14), but the sandbox has no Iceberg
+jars and no network, so SnapLake implements exactly the Iceberg semantics
+the engine needs, in pure PySpark + JSON manifests:
+
+  table_root/
+    data/<commit_id>/_bucket=K/part-*.parquet   immutable data files
+    metadata/v00000007.json                     immutable snapshot manifest
+    metadata/HEAD                               atomic pointer (os.rename)
+
+* **Bucketed layout**: every data file belongs to one bucket
+  ``pmod(xxhash64(url), n_buckets)`` (Iceberg ``bucket(N, url)`` partition
+  transform analog). MERGE rewrites only the buckets the batch touches —
+  at 100 TB with n_buckets=4096 an epoch touching 1% of url-space rewrites
+  ~1% of the table, not all of it.
+* **Copy-on-write MERGE**: full-outer join of touched-bucket state with the
+  (already LWW-deduped) batch on ``url``; winner = max (warc_ts, seq);
+  deletes persist as tombstone rows (``_deleted``) so an out-of-order
+  insert arriving in a LATER epoch with an OLDER warc_ts still loses —
+  physical row drop would silently resurrect it (SURVEY.md §7.4.1).
+* **Atomic snapshot commit**: write immutable manifest vN+1, then swap
+  ``HEAD`` via ``os.rename`` (POSIX-atomic). The offset ledger entry and
+  the epoch's per-partition lineage rows live INSIDE the manifest, so data,
+  ledger and lineage commit in one atomic step — the exactly-once
+  cornerstone (SURVEY.md §7.4.2).
+* **Idempotence**: ``merge`` consults the accumulated ledger first; a
+  re-delivered epoch (foreachBatch retry / replay overlap) is a no-op.
+  The LWW merge condition is the semantic backstop: even a forced re-apply
+  cannot change the final state.
+* **Schema evolution**: manifests pin the table schema; MERGE widens it via
+  ``normalize.evolve_schema`` when a batch carries new/wider columns. Old
+  data files are NOT rewritten — Spark 4's parquet reader fills missing
+  columns with NULL and widens int->long under an explicit read schema
+  (verified), the Iceberg schema-evolution read path analog.
+* **Time travel**: ``scan(spark, version=K)`` reads any retained snapshot.
+
+A real-cluster ``IcebergLake`` with the same interface belongs next to this
+class (MERGE INTO + snapshot summary properties); it is not included here
+because it cannot run or be tested in this sandbox (SURVEY.md §7.2).
+
+Reference parity note: upstream cfe_39 persisted progress by encoding the
+last Kafka offset in the HDFS filename it renamed into place (SURVEY.md
+§3.4 [UPSTREAM]); SnapLake keeps that shape — durable atomic rename carrying
+the offset range — and generalizes it to CDC snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from datetime import datetime, timezone
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from cdc_engine.normalize import conform, evolve_schema
+from cdc_engine.salt import bucket_expr
+from cdc_engine.schemas import INTERNAL_DELETED, INTERNAL_SEQ, WAL_META_COLS
+
+_LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch_id", T.LongType(), False),
+        T.StructField("commit_id", T.StringType(), False),
+        T.StructField("first_seq", T.LongType(), True),
+        T.StructField("last_seq", T.LongType(), True),
+        T.StructField("committed_at", T.TimestampType(), True),
+    ]
+)
+
+_LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch_id", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("first_seq", T.LongType(), True),
+        T.StructField("last_seq", T.LongType(), True),
+        T.StructField("snapshot_id", T.StringType(), True),
+        T.StructField("rows_in", T.LongType(), True),
+        T.StructField("rows_upserted", T.LongType(), True),
+        T.StructField("rows_deleted", T.LongType(), True),
+        T.StructField("rows_late_ignored", T.LongType(), True),
+        T.StructField("bytes", T.LongType(), True),
+        T.StructField("apply_latency_ms", T.DoubleType(), True),
+    ]
+)
+
+
+def _internal_schema(user: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(user.fields)
+        + [
+            T.StructField(INTERNAL_SEQ, T.LongType(), False),
+            T.StructField(INTERNAL_DELETED, T.BooleanType(), False),
+        ]
+    )
+
+
+class SnapLake:
+    """Snapshot-versioned bucketed lake table (see module docstring)."""
+
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+        self.meta_dir = os.path.join(self.path, "metadata")
+        self.data_dir = os.path.join(self.path, "data")
+
+    # ------------------------------------------------------------- create
+    @staticmethod
+    def create(path: str, schema: T.StructType, n_buckets: int = 16) -> "SnapLake":
+        lake = SnapLake(path)
+        os.makedirs(lake.meta_dir, exist_ok=False)
+        os.makedirs(lake.data_dir, exist_ok=True)
+        manifest = {
+            "version": 0,
+            "table_uuid": uuid.uuid4().hex,
+            "schema": schema.jsonValue(),
+            "n_buckets": n_buckets,
+            "files": [],
+            "parent": None,
+            "summary": {"commit_id": "genesis", "epoch_id": None},
+            "ledger": {},
+            "lineage": [],
+        }
+        lake._write_manifest(manifest)
+        return lake
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.isfile(os.path.join(path, "metadata", "HEAD"))
+
+    # ----------------------------------------------------------- metadata
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version:08d}.json")
+
+    def head_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "HEAD")) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict[str, Any]:
+        v = self.head_version() if version is None else version
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict[str, Any]) -> None:
+        """Immutable manifest file + atomic HEAD swap (S5)."""
+        mp = self._manifest_path(manifest["version"])
+        with open(mp, "x") as f:  # 'x': a version collision is a writer race
+            json.dump(manifest, f)
+        tmp = os.path.join(self.meta_dir, f".HEAD.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            f.write(str(manifest["version"]))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.meta_dir, "HEAD"))
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(self.manifest(version)["schema"])
+
+    def committed_epochs(self, version: int | None = None) -> dict[int, dict]:
+        return {int(k): v for k, v in self.manifest(version)["ledger"].items()}
+
+    # --------------------------------------------------------------- scan
+    def _files(self, manifest: dict, buckets: set[int] | None = None) -> list[dict]:
+        fs = manifest["files"]
+        if buckets is not None:
+            fs = [f for f in fs if f["bucket"] in buckets]
+        return fs
+
+    def scan_internal(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        buckets: set[int] | None = None,
+    ) -> DataFrame:
+        man = self.manifest(version)
+        schema = _internal_schema(T.StructType.fromJson(man["schema"]))
+        files = self._files(man, buckets)
+        if not files:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        # explicit schema => missing-column NULL-fill + int->long widening on
+        # old files (schema evolution without rewrite)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def scan(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Live rows, user columns only (tombstones filtered)."""
+        df = self.scan_internal(spark, version)
+        user_cols = [f.name for f in self.schema(version).fields]
+        return df.where(~F.col(INTERNAL_DELETED)).select(*user_cols)
+
+    # -------------------------------------------------------------- merge
+    def merge(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        epoch_id: int,
+        source_partition_col: str = "source_partition",
+        collect_lineage: bool = True,
+        input_stats: list[dict] | None = None,
+    ) -> dict[str, Any] | None:
+        """CDC-apply one deduped micro-batch (S4/J1). Returns commit stats,
+        or None when ``epoch_id`` is already in the ledger (idempotence, J4).
+
+        ``batch_df`` must be one-row-per-url (run dedup.lww_dedup first —
+        invariant 1 of SURVEY.md §4) with WAL columns (seq, op, payload...).
+
+        ``input_stats``: optional pre-dedup per-source-partition rows
+        ``{partition_id, rows_in, first_seq, last_seq, bytes}`` from
+        apply_epoch, so ledger/lineage record the FULL consumed offset
+        range, not just LWW winners. Without it, stats fall back to the
+        (deduped) batch itself.
+        """
+        t0 = time.monotonic()
+        man = self.manifest()
+        if str(epoch_id) in man["ledger"]:
+            return None
+        n_buckets = man["n_buckets"]
+        version = man["version"] + 1
+        snapshot_id = f"v{version:08d}"
+
+        # -- schema evolution: widen table schema by the batch's payload cols
+        cur_schema = T.StructType.fromJson(man["schema"])
+        incoming = T.StructType(
+            [f for f in batch_df.schema.fields if f.name not in WAL_META_COLS]
+        )
+        new_schema = evolve_schema(cur_schema, incoming)
+        user_cols = [f.name for f in new_schema.fields]
+
+        src = conform(batch_df, new_schema, passthrough=WAL_META_COLS)
+        src = src.withColumn("_bucket", bucket_expr("url", n_buckets))
+
+        touched = sorted(
+            r["_bucket"] for r in src.select("_bucket").distinct().collect()
+        )
+        tgt = self.scan_internal(spark, buckets=set(touched))
+        # target conformed to the evolved schema (old snapshot may be narrower)
+        tgt = conform(tgt, _internal_schema(new_schema))
+
+        j = tgt.alias("t").join(src.alias("s"), F.col("t.url") == F.col("s.url"), "full_outer")
+        s_here = F.col("s.url").isNotNull()
+        t_here = F.col("t.url").isNotNull()
+        s_newer = (
+            F.when(~t_here, F.lit(True))
+            .when(~s_here, F.lit(False))
+            .otherwise(
+                (F.col("s.warc_ts") > F.col("t.warc_ts"))
+                | (
+                    (F.col("s.warc_ts") == F.col("t.warc_ts"))
+                    & (F.col("s.seq") > F.col(f"t.{INTERNAL_SEQ}"))
+                )
+            )
+        )
+        pick = [
+            F.when(s_newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in user_cols
+        ]
+        result = j.select(
+            *pick,
+            F.when(s_newer, F.col("s.seq")).otherwise(F.col(f"t.{INTERNAL_SEQ}")).alias(INTERNAL_SEQ),
+            F.when(s_newer, F.col("s.op") == F.lit("delete"))
+            .otherwise(F.col(f"t.{INTERNAL_DELETED}"))
+            .alias(INTERNAL_DELETED),
+            F.coalesce(F.col("s._bucket"), bucket_expr("t.url", n_buckets)).alias("_bucket"),
+        )
+
+        # one output file per touched bucket: repartition ON the bucket id,
+        # cluster by url inside each file (O3, MERGE locality)
+        commit_seed = f"{man['table_uuid']}:{epoch_id}"
+        commit_id = "c" + _stable_hash(commit_seed)
+        out_rel = os.path.join("data", commit_id)
+        out_abs = os.path.join(self.path, out_rel)
+        if os.path.exists(out_abs):
+            # crash happened between data write and manifest commit on a
+            # previous attempt: the dir is unreferenced (ledger check above
+            # proved no manifest committed it) — safe to clear and rewrite
+            import shutil
+
+            shutil.rmtree(out_abs)
+        nparts = max(1, min(len(touched), spark.sparkContext.defaultParallelism))
+        (
+            result.repartition(nparts, F.col("_bucket"))
+            .sortWithinPartitions("url")
+            .write.mode("errorifexists")
+            .partitionBy("_bucket")
+            .parquet(out_abs)
+        )
+
+        new_files = _walk_bucket_files(self.path, out_rel)
+        untouched = [f for f in man["files"] if f["bucket"] not in set(touched)]
+        files = untouched + new_files
+
+        # -- stats for ledger + lineage (narrow second pass: Catalyst prunes
+        # html/text out of both scans; the join re-runs on slim columns)
+        if input_stats is not None:
+            lo = min(s["first_seq"] for s in input_stats) if input_stats else None
+            hi = max(s["last_seq"] for s in input_stats) if input_stats else None
+        else:
+            r0 = batch_df.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+            lo = None if r0["lo"] is None else int(r0["lo"])
+            hi = None if r0["hi"] is None else int(r0["hi"])
+        lineage_rows: list[dict] = []
+        if collect_lineage:
+            sp_col = (
+                F.col(f"s.{source_partition_col}").cast("int")
+                if source_partition_col in batch_df.columns
+                else F.lit(None).cast("int")
+            )
+            outcome = (
+                F.when(~s_newer, F.lit("late_ignored"))
+                .when(F.col("s.op") == "delete", F.lit("deleted"))
+                .when(~t_here, F.lit("inserted"))
+                .otherwise(F.lit("updated"))
+            )
+            stats = (
+                j.where(s_here)
+                .select(sp_col.alias("pid"), outcome.alias("oc"), F.col("s.seq").alias("seq"))
+                .groupBy("pid")
+                .agg(
+                    F.count("*").alias("rows_applied"),
+                    F.min("seq").alias("first_seq"),
+                    F.max("seq").alias("last_seq"),
+                    F.sum(F.when(F.col("oc").isin("inserted", "updated"), 1).otherwise(0)).alias("rows_upserted"),
+                    F.sum(F.when(F.col("oc") == "deleted", 1).otherwise(0)).alias("rows_deleted"),
+                    F.sum(F.when(F.col("oc") == "late_ignored", 1).otherwise(0)).alias("rows_late_ignored"),
+                )
+                .collect()
+            )
+            latency_ms = (time.monotonic() - t0) * 1000.0
+            by_pid = {
+                (None if r["pid"] is None else int(r["pid"])): r for r in stats
+            }
+            in_by_pid = (
+                {s["partition_id"]: s for s in input_stats}
+                if input_stats is not None
+                else {
+                    pid: {
+                        "partition_id": pid,
+                        "rows_in": int(r["rows_applied"]),
+                        "first_seq": int(r["first_seq"]),
+                        "last_seq": int(r["last_seq"]),
+                        "bytes": None,
+                    }
+                    for pid, r in by_pid.items()
+                }
+            )
+            lineage_rows = []
+            for pid, ins in sorted(in_by_pid.items(), key=lambda kv: (kv[0] is None, kv[0])):
+                r = by_pid.get(pid)
+                lineage_rows.append(
+                    {
+                        "epoch_id": int(epoch_id),
+                        "partition_id": pid,
+                        "first_seq": int(ins["first_seq"]),
+                        "last_seq": int(ins["last_seq"]),
+                        "snapshot_id": snapshot_id,
+                        "rows_in": int(ins["rows_in"]),
+                        "rows_upserted": 0 if r is None else int(r["rows_upserted"]),
+                        "rows_deleted": 0 if r is None else int(r["rows_deleted"]),
+                        "rows_late_ignored": 0 if r is None else int(r["rows_late_ignored"]),
+                        "bytes": None if ins.get("bytes") is None else int(ins["bytes"]),
+                        "apply_latency_ms": latency_ms,
+                    }
+                )
+
+        ledger_entry = {
+            "commit_id": commit_id,
+            "epoch_id": int(epoch_id),
+            "first_seq": lo,
+            "last_seq": hi,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+            "snapshot_id": snapshot_id,
+        }
+        new_man = {
+            "version": version,
+            "table_uuid": man["table_uuid"],
+            "schema": new_schema.jsonValue(),
+            "n_buckets": n_buckets,
+            "files": files,
+            "parent": man["version"],
+            "summary": {
+                "commit_id": commit_id,
+                "epoch_id": int(epoch_id),
+                "first_seq": ledger_entry["first_seq"],
+                "last_seq": ledger_entry["last_seq"],
+                "touched_buckets": len(touched),
+                "files_written": len(new_files),
+            },
+            "ledger": {**man["ledger"], str(epoch_id): ledger_entry},
+            "lineage": lineage_rows,
+        }
+        self._write_manifest(new_man)
+        return {
+            "version": version,
+            "commit_id": commit_id,
+            "snapshot_id": snapshot_id,
+            "touched_buckets": touched,
+            "lineage": lineage_rows,
+            "apply_latency_ms": (time.monotonic() - t0) * 1000.0,
+        }
+
+    # ---------------------------------------------------- ledger / lineage
+    def ledger_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (
+                e["epoch_id"],
+                e["commit_id"],
+                e["first_seq"],
+                e["last_seq"],
+                datetime.fromisoformat(e["committed_at"]).replace(tzinfo=None),
+            )
+            for e in self.manifest()["ledger"].values()
+        ]
+        return spark.createDataFrame(rows, _LEDGER_SCHEMA)
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """All epochs' lineage, reconstructed from the manifest chain (each
+        manifest atomically carries its own epoch's rows)."""
+        rows: list[tuple] = []
+        v: int | None = self.head_version()
+        while v is not None:
+            man = self.manifest(v)
+            for r in man.get("lineage", []):
+                rows.append(tuple(r[f.name] for f in _LINEAGE_SCHEMA.fields))
+            v = man["parent"]
+        return spark.createDataFrame(rows, _LINEAGE_SCHEMA)
+
+    # -------------------------------------------------------- verification
+    def state_hash(self, spark: SparkSession, version: int | None = None) -> tuple[int, int]:
+        """(row_count, order-insensitive content hash) of live user rows (A6).
+
+        Deterministic function of logical table state — the byte-identical
+        replay check (BASELINE.json:6).
+        """
+        df = self.scan(spark, version)
+        cols = [F.col(c) for c in df.columns]
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64(*cols).cast("decimal(38,0)")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"])
+
+
+def _stable_hash(s: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def _walk_bucket_files(root: str, rel_dir: str) -> list[dict]:
+    """Collect parquet files written under data/<commit>/_bucket=K/."""
+    out: list[dict] = []
+    base = os.path.join(root, rel_dir)
+    for dirpath, _dirs, names in os.walk(base):
+        bname = os.path.basename(dirpath)
+        if not bname.startswith("_bucket="):
+            continue
+        bucket = int(bname.split("=", 1)[1])
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            ap = os.path.join(dirpath, n)
+            out.append(
+                {
+                    "path": os.path.relpath(ap, root),
+                    "bucket": bucket,
+                    "rows": pq.ParquetFile(ap).metadata.num_rows,
+                    "bytes": os.path.getsize(ap),
+                }
+            )
+    return sorted(out, key=lambda f: (f["bucket"], f["path"]))

@@ -1,0 +1,100 @@
+"""T1/T6/S9: streaming + replay entry points (SURVEY.md §3.1–3.2).
+
+Two drivers around the SAME apply_epoch:
+
+* ``ingest_stream`` — Structured Streaming tail: readStream ->
+  foreachBatch(apply_epoch) with a checkpointLocation. Exactly-once:
+  Spark re-delivers an epoch after a crash, the ledger makes the re-apply
+  a no-op, and the LWW merge condition makes even a forced re-apply
+  state-identical. Final TABLE state is invariant to how the stream is
+  batched (LWW over a total (warc_ts, seq) order), so any
+  maxFilesPerTrigger / trigger cadence converges to the same snapshot.
+* ``replay`` — deterministic bounded replay: epochs are cut on fixed seq
+  ranges (epoch k = seqs [k*E, (k+1)*E)), NOT on wall time or file
+  arrival, so the ledger/lineage content is byte-reproducible too
+  (SURVEY.md §3.2). Resumes from whatever the ledger already holds.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from cdc_engine.apply import apply_epoch
+from cdc_engine.config import CdcConfig
+from cdc_engine.lake import SnapLake
+from cdc_engine.source import list_segments, open_stream, read_seq_range
+
+
+def replay(
+    spark: SparkSession,
+    lake: SnapLake,
+    wal_dir: str,
+    cfg: CdcConfig | None = None,
+    max_epochs: int | None = None,
+) -> list[dict[str, Any]]:
+    """Apply all (or the next ``max_epochs``) uncommitted epochs in seq
+    order. Safe to call repeatedly / after a crash: committed epochs are
+    skipped via the ledger (S2 + J4)."""
+    cfg = cfg or CdcConfig()
+    segs = list_segments(wal_dir)
+    if not segs:
+        return []
+    # max seq present = last segment's first_seq + its rows; cheaper: scan
+    # epochs until an empty range follows the last segment's first_seq
+    import pyarrow.parquet as pq
+
+    last_first, _ver, last_path = segs[-1]
+    n_last = pq.ParquetFile(last_path).metadata.num_rows
+    max_seq = last_first + n_last  # segments are dense in seq by contract
+    e = cfg.events_per_epoch
+    n_epochs = (max_seq + e - 1) // e
+
+    committed = set(lake.committed_epochs().keys())
+    results = []
+    done = 0
+    for k in range(n_epochs):
+        if k in committed:
+            continue
+        batch = read_seq_range(spark, wal_dir, k * e, (k + 1) * e)
+        r = apply_epoch(spark, lake, batch, epoch_id=k, cfg=cfg)
+        if r is not None:
+            results.append(r)
+        done += 1
+        if max_epochs is not None and done >= max_epochs:
+            break
+    return results
+
+
+def ingest_stream(
+    spark: SparkSession,
+    lake: SnapLake,
+    wal_dir: str,
+    checkpoint_dir: str,
+    cfg: CdcConfig | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    await_termination: bool = True,
+):
+    """Structured Streaming ingest (T1). With ``available_now`` the query
+    drains the current WAL and stops (bounded catch-up / replay); without
+    it the query tails forever (processing-time trigger)."""
+    cfg = cfg or CdcConfig()
+    stream = open_stream(spark, wal_dir, max_files_per_trigger=max_files_per_trigger)
+
+    def _apply(batch_df, epoch_id: int):
+        apply_epoch(spark, lake, batch_df, epoch_id=int(epoch_id), cfg=cfg)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("cdc_ingest")
+    )
+    writer = writer.trigger(availableNow=True) if available_now else writer.trigger(
+        processingTime="1 second"
+    )
+    q = writer.start()
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -1,0 +1,104 @@
+"""S1/S2: WAL sources (SURVEY.md §2.1).
+
+The WAL is a directory of immutable parquet segment files
+``<wal>/v{schema_version}/segment-{first_seq:012d}.parquet`` (FIXTURES.md §2)
+— the file-based stand-in for a Kafka topic the reference tails [UPSTREAM].
+On a real cluster the same pipeline reads
+``spark.readStream.format("kafka")`` + ``from_json``; only this module
+changes (SURVEY.md §7.2).
+
+* ``open_stream``: Structured Streaming file source, one segment per
+  micro-batch (``maxFilesPerTrigger=1``) — resumable via Spark's own
+  checkpointed file-source log (S9).
+* ``read_seq_range``: bounded batch read of a seq window for deterministic
+  replay; the seq predicate pushes down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from cdc_engine.schemas import WAL_SCHEMA_LATEST
+
+_SEG_RE = re.compile(r"v(\d+)[/\\]segment-(\d+)\.parquet$")
+
+
+def list_segments(wal_dir: str) -> list[tuple[int, int, str]]:
+    """[(first_seq, schema_version, path)] over all version subdirs,
+    seq-ordered. The directory name IS the per-segment schema-version
+    marker (FIXTURES.md §2)."""
+    out = []
+    for p in glob.glob(os.path.join(wal_dir, "v*", "segment-*.parquet")):
+        m = _SEG_RE.search(p)
+        if m:
+            out.append((int(m.group(2)), int(m.group(1)), p))
+    return sorted(out)
+
+
+def read_segments(
+    spark: SparkSession,
+    paths: list[str],
+    schema: T.StructType = WAL_SCHEMA_LATEST,
+) -> DataFrame:
+    """Batch-read WAL segments under the LATEST schema: v1 files get
+    NULL-filled added columns and int->long widening from the parquet
+    reader itself — no per-file branching."""
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def read_seq_range(
+    spark: SparkSession,
+    wal_dir: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Events with lo <= seq < hi (S2 bounded replay source).
+
+    Each segment is read under ITS OWN declared schema version, so a batch
+    from a v1 segment reaches apply_epoch with genuinely-v1 columns and the
+    mid-stream schema change flows through evolve_schema exactly when the
+    WAL switches versions — the Iceberg schema-merge moment.
+    """
+    from cdc_engine.normalize import union_conformed
+    from cdc_engine.schemas import WAL_SCHEMAS
+
+    segs = list_segments(wal_dir)
+    # prune whole segments by filename before Spark ever lists them
+    by_version: dict[int, list[str]] = {}
+    for i, (first, ver, p) in enumerate(segs):
+        nxt = segs[i + 1][0] if i + 1 < len(segs) else None
+        if (nxt is None or nxt > lo) and first < hi:
+            by_version.setdefault(ver, []).append(p)
+    if not by_version:
+        return spark.createDataFrame([], WAL_SCHEMAS[min(WAL_SCHEMAS)])
+    frames = [
+        read_segments(spark, paths, WAL_SCHEMAS[ver])
+        for ver, paths in sorted(by_version.items())
+    ]
+    if len(frames) == 1:
+        df = frames[0]
+    else:  # epoch straddles the schema change: union under the widest schema
+        widest_ver = max(by_version)
+        df = union_conformed(frames, WAL_SCHEMAS[widest_ver])
+    return df.where((F.col("seq") >= lo) & (F.col("seq") < hi))
+
+
+def open_stream(
+    spark: SparkSession,
+    wal_dir: str,
+    schema: T.StructType = WAL_SCHEMA_LATEST,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming WAL tail (S1)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "segment-*.parquet")
+        .parquet(wal_dir)
+    )
