@@ -1,0 +1,656 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each as (a) an idiomatic PySpark DataFrame builder and
+(b) an exactly-equivalent DuckDB oracle SQL string.
+
+Cross-engine determinism rules (see also textops.py):
+  * every aggregate over doubles is quantized to bigint milli-units
+    BEFORE summing (integer sums are order-insensitive and exact);
+  * every computed column is aliased identically on both sides;
+  * regexp_replace in DuckDB gets the 'g' flag (Spark is global by default);
+  * hashing is md5-based only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cdc_engine.dedup import lww_dedup
+from cdc_engine.dedup_text import (
+    exact_dedup_stats,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from cdc_engine.multimodal import blob_meta, featurize_documents
+from cdc_engine.simsearch import brute_topk, ivf_assign, ivf_query_topk
+from cdc_engine.textops import STOPWORDS, lang_id, quality_score, token_count, doc_fingerprint
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _milli(col) -> F.Column:
+    return F.round(col * 1000).cast("long")
+
+
+def _with_op(events: DataFrame) -> DataFrame:
+    """CDC op mapping for the events-as-WAL analog: 'error' events are
+    tombstones, everything else upserts."""
+    return events.withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark query builders — (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+def q_lww_dedup_latest(spark, sf):
+    ev = t(spark, sf, "events")
+    return (
+        lww_dedup(ev, key="user_id", ts="ts", seq="event_id")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_cdc_final_state(spark, sf):
+    ev = _with_op(t(spark, sf, "events"))
+    win = lww_dedup(ev, key="user_id", ts="ts", seq="event_id")
+    return (
+        win.where(F.col("op") != "delete")
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_cdc_merge_outcomes(spark, sf):
+    ev = _with_op(t(spark, sf, "events")).select("event_id", "user_id", "ts", "op")
+    state = lww_dedup(ev.where(F.col("event_id") % 2 == 0), key="user_id", ts="ts", seq="event_id")
+    batch = lww_dedup(ev.where(F.col("event_id") % 2 == 1), key="user_id", ts="ts", seq="event_id")
+    j = batch.alias("b").join(state.alias("s"), F.col("b.user_id") == F.col("s.user_id"), "full_outer")
+    late = (F.col("b.ts") < F.col("s.ts")) | (
+        (F.col("b.ts") == F.col("s.ts")) & (F.col("b.event_id") < F.col("s.event_id"))
+    )
+    outcome = (
+        F.when(F.col("b.user_id").isNull(), "carried")
+        .when(F.col("s.user_id").isNotNull() & late, "late_ignored")
+        .when(F.col("b.op") == "delete", "deleted")
+        .when(F.col("s.user_id").isNull(), "inserted")
+        .otherwise("updated")
+    )
+    return (
+        j.select(outcome.alias("outcome"))
+        .where(F.col("outcome") != "carried")
+        .groupBy("outcome")
+        .count()
+        .withColumnRenamed("count", "n")
+        .orderBy("outcome")
+    )
+
+
+def q_ledger_anti_join(spark, sf):
+    ev = t(spark, sf, "events")
+    odd = ev.where(F.col("event_id") % 2 == 1).select("user_id")
+    even = ev.where(F.col("event_id") % 2 == 0).select("user_id")
+    return odd.join(even, "user_id", "left_anti").distinct().orderBy("user_id")
+
+
+def q_epoch_stats(spark, sf):
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.floor(F.col("event_id") / 1000.0).cast("long").alias("epoch"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_seq"),
+            F.max("event_id").alias("last_seq"),
+            F.sum(_milli(F.col("value"))).alias("value_milli"),
+        )
+        .orderBy("epoch")
+    )
+
+
+def q_hot_keys_topk(spark, sf):
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )
+
+
+def q_distinct_exact(spark, sf):
+    ev = t(spark, sf, "events")
+    return ev.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def q_running_window(spark, sf):
+    ev = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("rn"),
+        F.sum(_milli(F.col("value"))).over(w).alias("run_milli"),
+    ).orderBy("user_id", "event_id")
+
+
+def q_lag_gap_audit(spark, sf):
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # testdata ts is TIMESTAMP_NTZ; cast for unix_micros (session TZ is UTC
+    # and the subtraction cancels any offset anyway)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us(F.col("ts")) - us(F.lag("ts").over(w))).alias("gap_us"),
+    ).orderBy("user_id", "event_id")
+
+
+def q_union_schema_merge(spark, sf):
+    ev = t(spark, sf, "events")
+    signup = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("long").alias("value_milli")
+    )
+    purchase = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", _milli(F.col("value")).alias("value_milli")
+    )
+    return signup.unionByName(purchase).orderBy("event_id")
+
+
+def q_except_diff(spark, sf):
+    ev = t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.exceptAll(buys).orderBy("user_id")
+
+
+def q_time_bucket_hourly(spark, sf):
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def q_json_props_extract(spark, sf):
+    ev = t(spark, sf, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("long").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k_val")
+    )
+
+
+def q_broadcast_dim_join(spark, sf):
+    orders = t(spark, sf, "orders")
+    cust = t(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n"), F.sum(_milli(F.col("o_totalprice"))).alias("total_milli"))
+        .orderBy("mktsegment")
+    )
+
+
+def q_semi_join_customers(spark, sf):
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n_customers_with_orders"))
+    )
+
+
+def q_tpch_q1_pricing(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_milli(F.col("l_quantity"))).alias("sum_qty_milli"),
+            F.sum(_milli(F.col("l_extendedprice"))).alias("sum_price_milli"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_scalar_url_extract(spark, sf):
+    docs = t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_url = docs.select("doc_id", "lang", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^https://([^/]+)", 1).alias("domain"),
+        F.length("url").alias("url_len"),
+        F.upper("lang").alias("lang_uc"),
+    ).orderBy("doc_id")
+
+
+def q_window_rank_sources(spark, sf):
+    docs = t(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), "source")
+    return counts.select("source", "n", F.rank().over(w).cast("int").alias("rnk")).orderBy(
+        "rnk", "source"
+    )
+
+
+# --- training-data / text / similarity ------------------------------------
+
+def q_dedup_exact_stats(spark, sf):
+    return exact_dedup_stats(t(spark, sf, "documents"))
+
+
+def q_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(t(spark, sf, "documents"), threshold_milli=300)
+
+
+def q_minhash_signatures(spark, sf):
+    return minhash_signatures(t(spark, sf, "documents"), k=8)
+
+
+def q_lsh_candidates(spark, sf):
+    return lsh_candidate_pairs(t(spark, sf, "documents"), k=8, band_rows=2)
+
+
+def q_simsearch_brute_topk(spark, sf):
+    return brute_topk(t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_ann_ivf_assign(spark, sf):
+    return ivf_assign(t(spark, sf, "embeddings"), n_cells=16)
+
+
+def q_ann_ivf_query_topk(spark, sf):
+    return ivf_query_topk(t(spark, sf, "embeddings"), query_vec_id=0, n_cells=16, k=10)
+
+
+def q_lang_id(spark, sf):
+    return lang_id(t(spark, sf, "documents")).select("doc_id", "lang", "pred_lang")
+
+
+def q_quality_scores(spark, sf):
+    return quality_score(t(spark, sf, "documents"))
+
+
+def q_token_counts(spark, sf):
+    return token_count(t(spark, sf, "documents"))
+
+
+def q_doc_fingerprints(spark, sf):
+    return doc_fingerprint(t(spark, sf, "documents"))
+
+
+def q_multimodal_blob_meta(spark, sf):
+    return blob_meta(t(spark, sf, "documents"))
+
+
+# --- rows-only queries (no SQL-expressible oracle) -------------------------
+
+def q_approx_distinct_users(spark, sf):
+    ev = t(spark, sf, "events")
+    return ev.agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+
+
+def q_simhash_fingerprints(spark, sf):
+    return simhash_fingerprints(t(spark, sf, "documents"))
+
+
+def q_multimodal_features_stub(spark, sf):
+    return featurize_documents(t(spark, sf, "documents"))
+
+
+def q_cdc_replay_mini(spark, sf):
+    """The flagship: the actual CDC engine end-to-end on a WAL derived from
+    this sf's documents — generate, replay, scan. Non-SQL-expressible
+    (stateful multi-epoch pipeline); golden-tested against the pandas
+    oracle in tests/."""
+    import tempfile
+
+    from cdc_engine import CdcConfig, SnapLake, replay
+    from cdc_engine.schemas import PAGES_SCHEMA_V1
+    from gen.walgen import WalConfig, generate_wal
+
+    base = tempfile.mkdtemp(prefix="cdc_entry_")
+    wal_dir = f"{base}/wal"
+    generate_wal(
+        wal_dir,
+        WalConfig(
+            n_events=3_000,
+            events_per_epoch=1_000,
+            schema_change_at_epoch=2,
+            docs_parquet=f"{sf}/documents.parquet",
+        ),
+    )
+    lake = SnapLake.create(f"{base}/lake", PAGES_SCHEMA_V1, n_buckets=8)
+    replay(spark, lake, wal_dir, CdcConfig(events_per_epoch=1_000))
+    return lake.scan(spark).orderBy("url")
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL (views: region nation customer supplier part orders
+# lineitem events documents embeddings)
+# --------------------------------------------------------------------------
+
+_TOK_CTE = (
+    "tok AS (SELECT DISTINCT doc_id, lang, w FROM (SELECT doc_id, lang, "
+    "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w FROM documents) "
+    "WHERE w <> '')"
+)
+
+_DOT_SQL = (
+    "SUM(CAST(ROUND(CAST({a}[i] AS DOUBLE) * 1000) AS BIGINT) * "
+    "CAST(ROUND(CAST({b}[i] AS DOUBLE) * 1000) AS BIGINT))"
+)
+
+_STOP_EN = STOPWORDS["en"]
+
+ORACLE_SQL: dict[str, str] = {
+    "lww_dedup_latest": """
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1 ORDER BY user_id
+    """,
+    "cdc_final_state": """
+        WITH ev AS (SELECT *, CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op FROM events)
+        SELECT user_id, ts AS last_ts, event_id AS last_event_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+        WHERE rn = 1 AND op <> 'delete' ORDER BY user_id
+    """,
+    "cdc_merge_outcomes": """
+        WITH ev AS (SELECT event_id, user_id, ts,
+                           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+                    FROM events),
+        state AS (SELECT user_id, ts, event_id, op FROM
+                   (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM ev WHERE event_id % 2 = 0) WHERE rn = 1),
+        batch AS (SELECT user_id, ts, event_id, op FROM
+                   (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM ev WHERE event_id % 2 = 1) WHERE rn = 1),
+        m AS (SELECT b.user_id AS bu, s.user_id AS su, b.ts AS bts, s.ts AS sts,
+                     b.event_id AS bid, s.event_id AS sid, b.op AS bop
+              FROM batch b FULL OUTER JOIN state s ON b.user_id = s.user_id)
+        SELECT outcome, COUNT(*) AS n FROM (
+            SELECT CASE WHEN bu IS NULL THEN 'carried'
+                        WHEN su IS NOT NULL AND (bts < sts OR (bts = sts AND bid < sid)) THEN 'late_ignored'
+                        WHEN bop = 'delete' THEN 'deleted'
+                        WHEN su IS NULL THEN 'inserted'
+                        ELSE 'updated' END AS outcome
+            FROM m)
+        WHERE outcome <> 'carried' GROUP BY outcome ORDER BY outcome
+    """,
+    "ledger_anti_join": """
+        SELECT DISTINCT user_id FROM events
+        WHERE event_id % 2 = 1
+          AND user_id NOT IN (SELECT user_id FROM events WHERE event_id % 2 = 0)
+        ORDER BY user_id
+    """,
+    "epoch_stats": """
+        SELECT CAST(FLOOR(event_id / 1000.0) AS BIGINT) AS epoch, COUNT(*) AS n,
+               MIN(event_id) AS first_seq, MAX(event_id) AS last_seq,
+               SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS value_milli
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "hot_keys_topk": """
+        SELECT user_id, COUNT(*) AS n FROM events
+        GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+    """,
+    "distinct_exact": """
+        SELECT COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT event_type) AS n_types FROM events
+    """,
+    "running_window": """
+        SELECT user_id, event_id,
+               COUNT(*) OVER w AS rn,
+               SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER w AS run_milli
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """,
+    "lag_gap_audit": """
+        SELECT user_id, event_id,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events ORDER BY user_id, event_id
+    """,
+    "union_schema_merge": """
+        SELECT event_id, user_id, ts, CAST(NULL AS BIGINT) AS value_milli
+        FROM events WHERE event_type = 'signup'
+        UNION ALL
+        SELECT event_id, user_id, ts, CAST(ROUND(value * 1000) AS BIGINT) AS value_milli
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY event_id
+    """,
+    "except_diff": """
+        SELECT user_id FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        ) ORDER BY user_id
+    """,
+    "time_bucket_hourly": """
+        SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "json_props_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "broadcast_dim_join": """
+        SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n,
+               SUM(CAST(ROUND(o.o_totalprice * 1000) AS BIGINT)) AS total_milli
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "semi_join_customers": """
+        SELECT COUNT(*) AS n_customers_with_orders FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "tpch_q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(ROUND(l_quantity * 1000) AS BIGINT)) AS sum_qty_milli,
+               SUM(CAST(ROUND(l_extendedprice * 1000) AS BIGINT)) AS sum_price_milli,
+               COUNT(*) AS n
+        FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "scalar_url_extract": """
+        SELECT doc_id, url, regexp_extract(url, '^https://([^/]+)', 1) AS domain,
+               length(url) AS url_len, upper(lang) AS lang_uc
+        FROM (SELECT doc_id, lang,
+                     'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents)
+        ORDER BY doc_id
+    """,
+    "window_rank_sources": """
+        SELECT source, n, CAST(rnk AS INTEGER) AS rnk FROM (
+            SELECT source, COUNT(*) AS n,
+                   rank() OVER (ORDER BY COUNT(*) DESC, source) AS rnk
+            FROM documents GROUP BY source)
+        ORDER BY rnk, source
+    """,
+    "dedup_exact_stats": """
+        SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents
+    """,
+    "ngram_jaccard": f"""
+        WITH {_TOK_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        ov AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+               FROM tok a JOIN tok b
+                 ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT da, db, inter, sa.n AS na, sb.n AS nb,
+               CAST(ROUND(1000.0 * inter / (sa.n + sb.n - inter)) AS BIGINT) AS jacc_milli
+        FROM ov JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+        WHERE CAST(ROUND(1000.0 * inter / (sa.n + sb.n - inter)) AS BIGINT) >= 300
+        ORDER BY da, db
+    """,
+    "minhash_signatures": f"""
+        WITH {_TOK_CTE}
+        SELECT doc_id, CAST(i AS INTEGER) AS i,
+               MIN(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || w), 1, 12))::BIGINT) AS minhash
+        FROM tok, range(0, 8) t(i)
+        GROUP BY doc_id, i ORDER BY doc_id, i
+    """,
+    "lsh_candidates": f"""
+        WITH {_TOK_CTE},
+        sig AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+                       MIN(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || w), 1, 12))::BIGINT) AS minhash
+                FROM tok, range(0, 8) t(i) GROUP BY doc_id, i),
+        banded AS (SELECT doc_id, CAST(FLOOR(i / 2.0) AS INTEGER) AS band,
+                          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+                   FROM sig GROUP BY 1, 2)
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        ORDER BY da, db
+    """,
+    "simsearch_brute_topk": f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        d AS (SELECT e.vec_id, {_DOT_SQL.format(a='e.embedding', b='q.qe')} AS dot_q
+              FROM embeddings e, q, range(1, 65) t(i)
+              WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+        SELECT vec_id, dot_q FROM d ORDER BY dot_q DESC, vec_id LIMIT 10
+    """,
+    "ann_ivf_assign": f"""
+        WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+        s AS (SELECT e.vec_id, c.cell, {_DOT_SQL.format(a='e.embedding', b='c.ce')} AS cell_dot_q
+              FROM embeddings e, c, range(1, 65) t(i) GROUP BY e.vec_id, c.cell),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_dot_q DESC, cell) AS rn FROM s)
+        SELECT vec_id, cell, cell_dot_q FROM r WHERE rn = 1 ORDER BY vec_id
+    """,
+    "ann_ivf_query_topk": f"""
+        WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+        s AS (SELECT e.vec_id, c.cell, {_DOT_SQL.format(a='e.embedding', b='c.ce')} AS cell_dot_q
+              FROM embeddings e, c, range(1, 65) t(i) GROUP BY e.vec_id, c.cell),
+        r AS (SELECT vec_id, cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_dot_q DESC, cell) AS rn FROM s)
+              WHERE rn = 1),
+        qcell AS (SELECT cell FROM r WHERE vec_id = 0),
+        members AS (SELECT r.vec_id FROM r JOIN qcell ON r.cell = qcell.cell WHERE r.vec_id <> 0),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        d AS (SELECT e.vec_id, {_DOT_SQL.format(a='e.embedding', b='q.qe')} AS dot_q
+              FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q, range(1, 65) t(i)
+              GROUP BY e.vec_id)
+        SELECT vec_id, dot_q FROM d ORDER BY dot_q DESC, vec_id LIMIT 10
+    """,
+    "lang_id": """
+        SELECT doc_id, lang,
+               CASE WHEN s_en > 0 AND s_en = GREATEST(0, s_en, s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de > 0 AND s_de = GREATEST(0, s_en, s_de, s_fr, s_es) THEN 'de'
+                    WHEN s_fr > 0 AND s_fr = GREATEST(0, s_en, s_de, s_fr, s_es) THEN 'fr'
+                    WHEN s_es > 0 AND s_es = GREATEST(0, s_en, s_de, s_fr, s_es) THEN 'es'
+                    ELSE 'und' END AS pred_lang
+        FROM (SELECT doc_id, lang,
+                     len(regexp_extract_all(lower(text), '\\b(%(en)s)\\b')) AS s_en,
+                     len(regexp_extract_all(lower(text), '\\b(%(de)s)\\b')) AS s_de,
+                     len(regexp_extract_all(lower(text), '\\b(%(fr)s)\\b')) AS s_fr,
+                     len(regexp_extract_all(lower(text), '\\b(%(es)s)\\b')) AS s_es
+              FROM documents)
+        ORDER BY doc_id
+    """ % STOPWORDS,
+    "quality_scores": f"""
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, n_chars_measured,
+               CAST(ROUND(1000.0 * punct / GREATEST(n_chars_measured, 1)) AS BIGINT) AS punct_milli,
+               CAST(ROUND(1000.0 * stop / GREATEST(n_tokens, 1)) AS BIGINT) AS stopword_milli,
+               CAST(ROUND(1000.0 * (0.5 * LEAST(n_tokens, 100) / 100.0
+                                    + 0.5 * stop / GREATEST(n_tokens, 1))) AS BIGINT) AS quality_milli
+        FROM (SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
+                     length(text) AS n_chars_measured,
+                     len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+                     len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b')) AS stop
+              FROM documents)
+        ORDER BY doc_id
+    """,
+    "token_counts": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+        FROM documents ORDER BY doc_id
+    """,
+    "multimodal_blob_meta": """
+        SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS blob_bytes,
+               md5(text) AS content_fp,
+               CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+                    WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality
+        FROM documents ORDER BY doc_id
+    """,
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lww_dedup_latest": q_lww_dedup_latest,
+    "cdc_final_state": q_cdc_final_state,
+    "cdc_merge_outcomes": q_cdc_merge_outcomes,
+    "ledger_anti_join": q_ledger_anti_join,
+    "epoch_stats": q_epoch_stats,
+    "hot_keys_topk": q_hot_keys_topk,
+    "distinct_exact": q_distinct_exact,
+    "running_window": q_running_window,
+    "lag_gap_audit": q_lag_gap_audit,
+    "union_schema_merge": q_union_schema_merge,
+    "except_diff": q_except_diff,
+    "time_bucket_hourly": q_time_bucket_hourly,
+    "json_props_extract": q_json_props_extract,
+    "broadcast_dim_join": q_broadcast_dim_join,
+    "semi_join_customers": q_semi_join_customers,
+    "tpch_q1_pricing": q_tpch_q1_pricing,
+    "scalar_url_extract": q_scalar_url_extract,
+    "window_rank_sources": q_window_rank_sources,
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidates": q_lsh_candidates,
+    "simsearch_brute_topk": q_simsearch_brute_topk,
+    "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_ivf_query_topk": q_ann_ivf_query_topk,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "doc_fingerprints": q_doc_fingerprints,
+    "multimodal_blob_meta": q_multimodal_blob_meta,
+    # rows-only (no SQL-expressible oracle): stateful engine runs, sketches,
+    # pandas-UDF fingerprints, mapInPandas feature plumbing
+    "cdc_replay_mini": q_cdc_replay_mini,
+    "approx_distinct_users": q_approx_distinct_users,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "multimodal_features_stub": q_multimodal_features_stub,
+}

@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns (array<float>).
+
+Determinism across engines: dot products are computed on QUANTIZED integer
+components (cast(round(x*1000) as bigint)) so sums are exact and
+order-insensitive — float accumulation order would differ between Spark's
+codegen and DuckDB and break value-hash comparison.
+
+  * brute_topk     — exact top-k by quantized dot product against one query
+                     vector; the correctness baseline. No explode: the dot
+                     product is a zip_with/aggregate over the array columns,
+                     fully JVM-side, one broadcast of the query row.
+  * ivf_assign     — IVF-style cell assignment: nearest of C seeded
+                     centroids (here: the first C vectors). At scale this is
+                     the partitioning function: vectors are bucketed by cell
+                     and a query probes only its cell(s).
+  * ivf_query_topk — top-k restricted to the query's cell — the scale path
+                     (scan 1/C of the data instead of all of it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# quantized integer dot product of two array<float> columns, JVM-side
+_DOT_Q = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "cast(round(cast(x as double) * 1000) as bigint) * "
+    "cast(round(cast(y as double) * 1000) as bigint)), "
+    "cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+def dot_q(a: str, b: str):
+    return F.expr(_DOT_Q.format(a=a, b=b))
+
+
+def brute_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    return (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", dot_q("embedding", "qe").alias("dot_q"))
+        .orderBy(F.desc("dot_q"), "vec_id")
+        .limit(k)
+    )
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = 16) -> DataFrame:
+    """(vec_id, cell, cell_dot_q): nearest centroid by quantized dot.
+    Centroids are the first ``n_cells`` vectors (deterministic seed set).
+    Ties break to the lowest centroid id."""
+    cents = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", dot_q("embedding", "ce").alias("cell_dot_q")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_dot_q"), F.asc("cell"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("vec_id")
+    )
+
+
+def ivf_query_topk(
+    emb: DataFrame, query_vec_id: int = 0, n_cells: int = 16, k: int = 10
+) -> DataFrame:
+    """Top-k within the query's IVF cell (the 1/C-scan ANN path)."""
+    assign = ivf_assign(emb, n_cells)
+    qcell = assign.where(F.col("vec_id") == query_vec_id).select("cell")
+    members = assign.join(F.broadcast(qcell), "cell", "left_semi").where(
+        F.col("vec_id") != query_vec_id
+    )
+    q = emb.where(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("qe"))
+    return (
+        members.select("vec_id")
+        .join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", dot_q("embedding", "qe").alias("dot_q"))
+        .orderBy(F.desc("dot_q"), "vec_id")
+        .limit(k)
+    )

@@ -1,0 +1,97 @@
+"""Text-analysis operators for the training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Every operator is pure Catalyst expressions (JVM-side, codegen'd) — no
+Python in the hot path — and each has an exactly-equivalent DuckDB oracle
+in cdc_engine/contract.py. Cross-engine determinism rules used throughout:
+
+  * ratios/scores are bigint milli-units: cast(round(1000.0*a/b) as bigint)
+    (identical IEEE double ops on identical operands in both engines);
+  * token splitting via the shared regex '[^a-z0-9]+' with empties dropped;
+  * hashing via md5 (same bytes in both engines), never engine-native hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+STOPWORDS = {
+    "en": "the|and|of|to|in|is|was|for|with|that",
+    "de": "der|die|und|das|ein|ist|nicht|mit|von|zu",
+    "fr": "le|la|les|et|des|est|une|dans|pour|que",
+    "es": "el|los|las|y|es|del|una|por|con|para",
+}
+LANG_ORDER = ("en", "de", "fr", "es")  # deterministic argmax tie-break
+
+
+def _stop_count(lang: str):
+    return F.regexp_count(F.lower(F.col("text")), F.lit(rf"\b({STOPWORDS[lang]})\b"))
+
+
+def tokens_expr(col: str = "text"):
+    """Lowercased word tokens, empties removed (shared with dedup_text)."""
+    return F.filter(
+        F.split(F.lower(F.col(col)), TOKEN_SPLIT_RE), lambda x: x != F.lit("")
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram/stopword heuristic language ID: argmax of per-language
+    stopword hit counts, first-wins tie-break in LANG_ORDER, 'und' when no
+    stopword hits at all."""
+    scored = docs.select(
+        "doc_id", "lang", *[_stop_count(l).alias(f"s_{l}") for l in LANG_ORDER]
+    )
+    pred = F.lit("und")
+    # build the CASE from the lowest-priority language up
+    for l in reversed(LANG_ORDER):
+        cond = (F.col(f"s_{l}") > 0) & F.greatest(
+            *[F.lit(0)] , *[F.col(f"s_{m}") for m in LANG_ORDER]
+        ).eqNullSafe(F.col(f"s_{l}"))
+        pred = F.when(cond, F.lit(l)).otherwise(pred)
+    out = scored.select("doc_id", "lang", *[f"s_{l}" for l in LANG_ORDER], pred.alias("pred_lang"))
+    return out.orderBy("doc_id")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/punctuation/stopword quality heuristics, milli-unit ints."""
+    n_tokens = F.size(tokens_expr())
+    n_chars = F.length("text")
+    punct = F.regexp_count(F.col("text"), F.lit(r"[.,!?;:]"))
+    stop = _stop_count("en")
+    punct_milli = F.round(F.lit(1000.0) * punct / F.greatest(n_chars, F.lit(1))).cast("long")
+    stop_milli = F.round(F.lit(1000.0) * stop / F.greatest(n_tokens, F.lit(1))).cast("long")
+    quality_milli = F.round(
+        F.lit(1000.0)
+        * (
+            F.lit(0.5) * F.least(n_tokens, F.lit(100)) / F.lit(100.0)
+            + F.lit(0.5) * stop / F.greatest(n_tokens, F.lit(1))
+        )
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        punct_milli.alias("punct_milli"),
+        stop_milli.alias("stopword_milli"),
+        quality_milli.alias("quality_milli"),
+    ).orderBy("doc_id")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count (letters runs,
+    digit runs, single punctuation — a crude subword proxy)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))).alias("n_ws_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_ISH_RE)).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp")).orderBy("doc_id")
