@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Per-round benchmark (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline workload is the engine itself: a seed-deterministic CDC WAL
+(derived from this sf's documents) replayed tail->commit through LWW dedup
+and bucketed MERGE; plus the heaviest contract queries. The two-cluster-size
+scaling evidence lives in bench/run.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_engine.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "200000"))
+EVENTS_PER_EPOCH = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCH", "50000"))
+
+
+def _sf_tag(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _gen_wal(tmp: str) -> str:
+    from gen.walgen import WalConfig, generate_wal
+
+    wal = os.path.join(tmp, "wal")
+    generate_wal(
+        wal,
+        WalConfig(
+            n_events=N_EVENTS,
+            events_per_epoch=EVENTS_PER_EPOCH,
+            schema_change_at_epoch=max(1, N_EVENTS // EVENTS_PER_EPOCH // 2),
+            docs_parquet=os.path.join(SF_DIR, "documents.parquet"),
+        ),
+    )
+    return wal
+
+
+def main() -> None:
+    from cdc_engine import CdcConfig, SnapLake, replay
+    from cdc_engine.contract import QUERIES
+    from cdc_engine.schemas import PAGES_SCHEMA_V1
+
+    tmp = tempfile.mkdtemp(prefix="cdc_bench_")
+    timings: dict[str, float] = {}
+    try:
+        wal = _gen_wal(tmp)  # generation excluded from timing
+        spark = build_session("cdc_bench")
+
+        # JVM/codegen/shuffle warm-up on a throwaway lake (first-run effects
+        # are ~3x and not what we're measuring)
+        warm = SnapLake.create(os.path.join(tmp, "lake_warm"), PAGES_SCHEMA_V1, n_buckets=32)
+        replay(spark, warm, wal, CdcConfig(events_per_epoch=EVENTS_PER_EPOCH, n_buckets=32), max_epochs=1)
+
+        t0 = time.monotonic()
+        lake = SnapLake.create(os.path.join(tmp, "lake"), PAGES_SCHEMA_V1, n_buckets=32)
+        replay(spark, lake, wal, CdcConfig(events_per_epoch=EVENTS_PER_EPOCH, n_buckets=32))
+        timings["cdc_ingest"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        mor = SnapLake.create(os.path.join(tmp, "lake_mor"), PAGES_SCHEMA_V1, n_buckets=32, mode="mor")
+        replay(spark, mor, wal, CdcConfig(events_per_epoch=EVENTS_PER_EPOCH, n_buckets=32))
+        timings["cdc_ingest_mor"] = round(time.monotonic() - t0, 3)
+        assert mor.state_hash(spark) == lake.state_hash(spark), "mode changed result!"
+
+        headline = [
+            "lww_dedup_latest",
+            "cdc_merge_outcomes",
+            "tpch_q1_pricing",
+            "broadcast_dim_join",
+            "running_window",
+            "minhash_signatures",
+            "lsh_candidates",
+            "simsearch_brute_topk",
+            "ann_ivf_assign",
+            "quality_scores",
+        ]
+        for name in headline:
+            t0 = time.monotonic()
+            df = QUERIES[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_ingest_plus_headline_queries_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": _sf_tag(SF_DIR),
+                    "events": N_EVENTS,
+                    "events_per_sec": round(N_EVENTS / timings["cdc_ingest"], 1),
+                }
+            )
+        )
+        spark.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

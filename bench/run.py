@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling bench (the binding criterion, BASELINE.json:2):
+the SAME CDC ingest job on the SAME WAL at two parallelism levels —
+local[8] (proxy for N executors) and local[32] (proxy for 4N) — reporting
+throughput at both plus scaling efficiency into BENCH/BASELINE.md.
+
+Each run executes in a fresh subprocess (one JVM per master). Confs are
+identical except master + proportional shuffle partitions.
+
+Usage: python bench/run.py [--events 2000000] [--epoch 200000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CHILD = """
+import json, os, sys, time
+sys.path.insert(0, os.environ["CDC_REPO"])
+from cdc_engine.session import build_session
+from cdc_engine import CdcConfig, SnapLake, replay
+from cdc_engine.schemas import PAGES_SCHEMA_V1
+
+master, mode, wal, lake_dir, epoch, out = sys.argv[1:7]
+cores = int(master[master.find('[')+1:master.find(']')])
+spark = build_session('cdc_scaling', master=master, shuffle_partitions=cores)
+cfg = CdcConfig(events_per_epoch=int(epoch), n_buckets=32)
+# JVM/codegen warm-up on a throwaway lake (one epoch), excluded from timing
+warm = SnapLake.create(lake_dir + '_warm', PAGES_SCHEMA_V1, n_buckets=32, mode=mode)
+replay(spark, warm, wal, cfg, max_epochs=1)
+t0 = time.monotonic()
+lake = SnapLake.create(lake_dir, PAGES_SCHEMA_V1, n_buckets=32, mode=mode)
+res = replay(spark, lake, wal, cfg)
+wall = time.monotonic() - t0
+n, h = lake.state_hash(spark)
+json.dump({'master': master, 'mode': mode, 'wall_sec': wall, 'epochs': len(res),
+           'state_rows': n, 'state_hash': h}, open(out, 'w'))
+spark.stop()
+"""
+
+
+def run_child(master: str, mode: str, wal: str, tmp: str, epoch: int) -> dict:
+    tag = f"{mode}_{master.replace('[', '_').replace(']', '')}"
+    out = os.path.join(tmp, f"result_{tag}.json")
+    lake_dir = os.path.join(tmp, f"lake_{tag}")
+    env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1", CDC_REPO=REPO)
+    subprocess.run(
+        [sys.executable, "-c", CHILD, master, mode, wal, lake_dir, str(epoch), out],
+        check=True,
+        env=env,
+        cwd=REPO,
+    )
+    with open(out) as f:
+        return json.load(f)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--epoch", type=int, default=200_000)
+    ap.add_argument("--low", default="local[8]")
+    ap.add_argument("--high", default="local[32]")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    a = ap.parse_args()
+
+    from gen.walgen import WalConfig, generate_wal
+
+    tmp = tempfile.mkdtemp(prefix="cdc_scaling_")
+    wal = os.path.join(tmp, "wal")
+    print(f"generating {a.events} events ...", flush=True)
+    t0 = time.monotonic()
+    generate_wal(
+        wal,
+        WalConfig(
+            n_events=a.events,
+            events_per_epoch=a.epoch,
+            schema_change_at_epoch=max(1, a.events // a.epoch // 2),
+            docs_parquet=os.path.join(a.sf_dir, "documents.parquet"),
+        ),
+    )
+    print(f"generated in {time.monotonic()-t0:.1f}s", flush=True)
+
+    results: dict[str, dict[str, dict]] = {}
+    eff: dict[str, float] = {}
+    ratio = int(a.high[a.high.find("[") + 1 : -1]) / int(a.low[a.low.find("[") + 1 : -1])
+    for mode in ("mor", "cow"):
+        results[mode] = {}
+        for master in (a.low, a.high):
+            print(f"running {mode} @ {master} ...", flush=True)
+            r = run_child(master, mode, wal, tmp, a.epoch)
+            r["events_per_sec"] = a.events / r["wall_sec"]
+            results[mode][master] = r
+            print(f"  {mode} {master}: {r['wall_sec']:.1f}s ({r['events_per_sec']:.0f} ev/s)", flush=True)
+        lo, hi = results[mode][a.low], results[mode][a.high]
+        assert lo["state_hash"] == hi["state_hash"], "parallelism changed the result!"
+        eff[mode] = (hi["events_per_sec"] / lo["events_per_sec"]) / ratio
+
+    hashes = {r["state_hash"] for m in results.values() for r in m.values()}
+    assert len(hashes) == 1, "table mode changed the result!"
+
+    def row(mode, master, label):
+        r = results[mode][master]
+        return f"| {mode} | {label} | `{master}` | {r['wall_sec']:.1f} | {r['events_per_sec']:.0f} |"
+
+    any_r = results["mor"][a.low]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE.md — two-cluster-size scaling evidence
+
+Binding criterion (BASELINE.json:2,14): throughput scaling efficiency
+>= 0.8 between N and 4N executors. No real cluster exists in this sandbox,
+so per driver instruction the same job runs on the same input at two
+parallelism levels on one 32-core machine.
+
+## Workload
+
+End-to-end CDC ingest: seed-deterministic WAL ({a.events:,} change events,
+zipf(1.3) hot domains, 30% updates / 5% deletes / 5% duplicates / 10%
+out-of-order, mid-stream schema change) replayed tail->commit:
+normalize -> LWW dedup (hash-agg max_by) -> MERGE into a 32-url-hash-bucket
+snapshot table -> atomic snapshot+ledger+lineage commit. Epochs of
+{a.epoch:,} events. Two table modes: merge-on-read (append LWW deltas,
+compaction folds; the ingest-throughput path) and copy-on-write (join +
+touched-bucket rewrite per epoch; the read-optimized path). WAL generation
+and one warm-up epoch excluded from timing. Confs identical across runs
+except master + shuffle partitions (= cores).
+
+## Results
+
+| mode | run | master | wall (s) | events/s |
+|---|---|---|---|---|
+{row('mor', a.low, 'N proxy')}
+{row('mor', a.high, '4N proxy')}
+{row('cow', a.low, 'N proxy')}
+{row('cow', a.high, '4N proxy')}
+
+**Scaling efficiency (mor) = {eff['mor']:.3f}; (cow) = {eff['cow']:.3f}**
+(efficiency = (throughput_4N / throughput_N) / {ratio:.0f}; target >= 0.8)
+
+All four runs produced byte-identical final table state
+(rows={any_r['state_rows']}, order-insensitive content hash={any_r['state_hash']})
+— parallelism level and storage mode provably do not affect results.
+
+## Caveats (single-machine proxy)
+
+- local[k] shares one JVM heap, one driver, one disk: it understates real
+  multi-executor scaling (no per-executor memory bandwidth or shuffle
+  service fan-out) and overstates shuffle locality. The engine's scaling
+  levers for a real cluster — url-hash bucketing, map-side-combine dedup,
+  touched-bucket-only MERGE, append-only MoR deltas + deterministic
+  compaction, AQE skew-join — are all per-partition mechanisms that do not
+  depend on single-JVM locality.
+- Spark confs: shuffle.partitions = cores; AQE + coalesce + skewJoin on;
+  Arrow on; zstd parquet; Kryo.
+"""
+        )
+    print(f"-> wrote {md}", flush=True)
+    print(
+        json.dumps(
+            {
+                "efficiency_mor": round(eff["mor"], 3),
+                "efficiency_cow": round(eff["cow"], 3),
+                "ev_per_sec": {
+                    m: {k: round(v["events_per_sec"], 1) for k, v in results[m].items()}
+                    for m in results
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,7 @@ from cdc_engine.config import CdcConfig
 from cdc_engine.dedup import lww_dedup
 from cdc_engine.lake import SnapLake
 from cdc_engine.normalize import apply_mapping
-from cdc_engine.salt import salted_repartition
+from cdc_engine.salt import bucket_expr, salted_repartition
 
 
 def apply_epoch(
@@ -44,13 +44,27 @@ def apply_epoch(
             bad.write.mode("append").parquet(os.path.join(quarantine_dir, f"epoch={epoch_id}"))
         df = df.where(valid)
 
-    if df.isEmpty():
-        return None
-
-    # pre-dedup per-source-partition input stats: ledger/lineage must record
-    # the FULL consumed offset range and row/byte counts (S6/S7), not just
-    # LWW winners. One narrow aggregate pass (seq/source_partition/html-len).
+    # ONE pre-dedup aggregate job computes everything the commit needs from
+    # the raw batch: per-source-partition input stats (ledger/lineage must
+    # record the FULL consumed offset range, not just LWW winners — S6/S7),
+    # emptiness, and the set of touched lake buckets (saves merge a separate
+    # distinct-buckets job). Narrow scan: seq, source_partition, url-hash,
+    # octet_length(html).
+    n_buckets = lake.manifest()["n_buckets"]
     sp = F.col("source_partition").cast("int") if "source_partition" in df.columns else F.lit(None).cast("int")
+    stats_rows = (
+        df.groupBy(sp.alias("pid"))
+        .agg(
+            F.count("*").alias("rows_in"),
+            F.min("seq").alias("first_seq"),
+            F.max("seq").alias("last_seq"),
+            F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).alias("bytes"),
+            F.collect_set(bucket_expr("url", n_buckets)).alias("buckets"),
+        )
+        .collect()
+    )
+    if not stats_rows:
+        return None
     input_stats = [
         {
             "partition_id": None if r["pid"] is None else int(r["pid"]),
@@ -59,17 +73,9 @@ def apply_epoch(
             "last_seq": int(r["last_seq"]),
             "bytes": int(r["bytes"]),
         }
-        for r in (
-            df.groupBy(sp.alias("pid"))
-            .agg(
-                F.count("*").alias("rows_in"),
-                F.min("seq").alias("first_seq"),
-                F.max("seq").alias("last_seq"),
-                F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).alias("bytes"),
-            )
-            .collect()
-        )
+        for r in stats_rows
     ]
+    touched = sorted({int(b) for r in stats_rows for b in r["buckets"]})
 
     # W1: one row per url — MUST precede merge (multiple source matches per
     # target row would make the merge nondeterministic; SURVEY.md §4 inv. 1)
@@ -87,4 +93,12 @@ def apply_epoch(
     if cfg.repartition_urls:
         df = salted_repartition(df, "url", cfg.repartition_urls)
 
-    return lake.merge(spark, df, epoch_id, input_stats=input_stats)
+    # cache the deduped batch: the merge's write job and its lineage stats
+    # job both consume it (otherwise dedup's shuffle re-runs per job)
+    df = df.persist()
+    try:
+        return lake.merge(
+            spark, df, epoch_id, input_stats=input_stats, touched_buckets=touched
+        )
+    finally:
+        df.unpersist()

@@ -109,7 +109,16 @@ class SnapLake:
 
     # ------------------------------------------------------------- create
     @staticmethod
-    def create(path: str, schema: T.StructType, n_buckets: int = 16) -> "SnapLake":
+    def create(
+        path: str, schema: T.StructType, n_buckets: int = 16, mode: str = "cow"
+    ) -> "SnapLake":
+        """``mode``: 'cow' (copy-on-write — MERGE rewrites touched buckets;
+        cheap scans, read-heavy workloads) or 'mor' (merge-on-read — MERGE
+        appends LWW-ready delta files with NO target read/join; scans
+        collapse base+delta per url; compaction folds deltas back into base.
+        The ingest-throughput mode, Iceberg write.merge.mode analog)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown table mode: {mode}")
         lake = SnapLake(path)
         os.makedirs(lake.meta_dir, exist_ok=False)
         os.makedirs(lake.data_dir, exist_ok=True)
@@ -118,6 +127,7 @@ class SnapLake:
             "table_uuid": uuid.uuid4().hex,
             "schema": schema.jsonValue(),
             "n_buckets": n_buckets,
+            "mode": mode,
             "files": [],
             "parent": None,
             "summary": {"commit_id": "genesis", "epoch_id": None},
@@ -183,7 +193,22 @@ class SnapLake:
         paths = [os.path.join(self.path, f["path"]) for f in files]
         # explicit schema => missing-column NULL-fill + int->long widening on
         # old files (schema evolution without rewrite)
-        return spark.read.schema(schema).parquet(*paths)
+        df = spark.read.schema(schema).parquet(*paths)
+        if any(f.get("kind", "base") == "delta" for f in files):
+            # merge-on-read collapse: one LWW winner per url over base+delta
+            # (hash-agg max_by — map-side combine, single shuffle on url)
+            others = [c for c in df.columns if c != "url"]
+            df = (
+                df.groupBy("url")
+                .agg(
+                    F.max_by(
+                        F.struct(*others), F.struct(F.col("warc_ts"), F.col(INTERNAL_SEQ))
+                    ).alias("_w")
+                )
+                .select("url", "_w.*")
+                .select(*df.columns)
+            )
+        return df
 
     def scan(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Live rows, user columns only (tombstones filtered)."""
@@ -200,6 +225,7 @@ class SnapLake:
         source_partition_col: str = "source_partition",
         collect_lineage: bool = True,
         input_stats: list[dict] | None = None,
+        touched_buckets: list[int] | None = None,
     ) -> dict[str, Any] | None:
         """CDC-apply one deduped micro-batch (S4/J1). Returns commit stats,
         or None when ``epoch_id`` is already in the ledger (idempotence, J4).
@@ -232,39 +258,54 @@ class SnapLake:
         src = conform(batch_df, new_schema, passthrough=WAL_META_COLS)
         src = src.withColumn("_bucket", bucket_expr("url", n_buckets))
 
-        touched = sorted(
-            r["_bucket"] for r in src.select("_bucket").distinct().collect()
+        touched = (
+            sorted(touched_buckets)
+            if touched_buckets is not None
+            else sorted(r["_bucket"] for r in src.select("_bucket").distinct().collect())
         )
-        tgt = self.scan_internal(spark, buckets=set(touched))
-        # target conformed to the evolved schema (old snapshot may be narrower)
-        tgt = conform(tgt, _internal_schema(new_schema))
 
-        j = tgt.alias("t").join(src.alias("s"), F.col("t.url") == F.col("s.url"), "full_outer")
-        s_here = F.col("s.url").isNotNull()
-        t_here = F.col("t.url").isNotNull()
-        s_newer = (
-            F.when(~t_here, F.lit(True))
-            .when(~s_here, F.lit(False))
-            .otherwise(
-                (F.col("s.warc_ts") > F.col("t.warc_ts"))
-                | (
-                    (F.col("s.warc_ts") == F.col("t.warc_ts"))
-                    & (F.col("s.seq") > F.col(f"t.{INTERNAL_SEQ}"))
+        mode = man.get("mode", "cow")
+        if mode == "mor":
+            # merge-on-read: the deduped batch IS the delta — no target read,
+            # no join. Tombstones ride along as _deleted rows; scan collapses.
+            j = s_here = s_newer = t_here = None
+            result = src.select(
+                *user_cols,
+                F.col("seq").alias(INTERNAL_SEQ),
+                (F.col("op") == F.lit("delete")).alias(INTERNAL_DELETED),
+                F.col("_bucket"),
+            )
+        else:
+            tgt = self.scan_internal(spark, buckets=set(touched))
+            # target conformed to the evolved schema (old snapshot may be narrower)
+            tgt = conform(tgt, _internal_schema(new_schema))
+
+            j = tgt.alias("t").join(src.alias("s"), F.col("t.url") == F.col("s.url"), "full_outer")
+            s_here = F.col("s.url").isNotNull()
+            t_here = F.col("t.url").isNotNull()
+            s_newer = (
+                F.when(~t_here, F.lit(True))
+                .when(~s_here, F.lit(False))
+                .otherwise(
+                    (F.col("s.warc_ts") > F.col("t.warc_ts"))
+                    | (
+                        (F.col("s.warc_ts") == F.col("t.warc_ts"))
+                        & (F.col("s.seq") > F.col(f"t.{INTERNAL_SEQ}"))
+                    )
                 )
             )
-        )
-        pick = [
-            F.when(s_newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-            for c in user_cols
-        ]
-        result = j.select(
-            *pick,
-            F.when(s_newer, F.col("s.seq")).otherwise(F.col(f"t.{INTERNAL_SEQ}")).alias(INTERNAL_SEQ),
-            F.when(s_newer, F.col("s.op") == F.lit("delete"))
-            .otherwise(F.col(f"t.{INTERNAL_DELETED}"))
-            .alias(INTERNAL_DELETED),
-            F.coalesce(F.col("s._bucket"), bucket_expr("t.url", n_buckets)).alias("_bucket"),
-        )
+            pick = [
+                F.when(s_newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in user_cols
+            ]
+            result = j.select(
+                *pick,
+                F.when(s_newer, F.col("s.seq")).otherwise(F.col(f"t.{INTERNAL_SEQ}")).alias(INTERNAL_SEQ),
+                F.when(s_newer, F.col("s.op") == F.lit("delete"))
+                .otherwise(F.col(f"t.{INTERNAL_DELETED}"))
+                .alias(INTERNAL_DELETED),
+                F.coalesce(F.col("s._bucket"), bucket_expr("t.url", n_buckets)).alias("_bucket"),
+            )
 
         # one output file per touched bucket: repartition ON the bucket id,
         # cluster by url inside each file (O3, MERGE locality)
@@ -289,8 +330,13 @@ class SnapLake:
         )
 
         new_files = _walk_bucket_files(self.path, out_rel)
-        untouched = [f for f in man["files"] if f["bucket"] not in set(touched)]
-        files = untouched + new_files
+        if mode == "mor":
+            for f in new_files:
+                f["kind"] = "delta"
+            files = man["files"] + new_files  # append-only; compaction folds
+        else:
+            untouched = [f for f in man["files"] if f["bucket"] not in set(touched)]
+            files = untouched + new_files
 
         # -- stats for ledger + lineage (narrow second pass: Catalyst prunes
         # html/text out of both scans; the join re-runs on slim columns)
@@ -303,31 +349,53 @@ class SnapLake:
             hi = None if r0["hi"] is None else int(r0["hi"])
         lineage_rows: list[dict] = []
         if collect_lineage:
-            sp_col = (
-                F.col(f"s.{source_partition_col}").cast("int")
-                if source_partition_col in batch_df.columns
-                else F.lit(None).cast("int")
-            )
-            outcome = (
-                F.when(~s_newer, F.lit("late_ignored"))
-                .when(F.col("s.op") == "delete", F.lit("deleted"))
-                .when(~t_here, F.lit("inserted"))
-                .otherwise(F.lit("updated"))
-            )
-            stats = (
-                j.where(s_here)
-                .select(sp_col.alias("pid"), outcome.alias("oc"), F.col("s.seq").alias("seq"))
-                .groupBy("pid")
-                .agg(
-                    F.count("*").alias("rows_applied"),
-                    F.min("seq").alias("first_seq"),
-                    F.max("seq").alias("last_seq"),
-                    F.sum(F.when(F.col("oc").isin("inserted", "updated"), 1).otherwise(0)).alias("rows_upserted"),
-                    F.sum(F.when(F.col("oc") == "deleted", 1).otherwise(0)).alias("rows_deleted"),
-                    F.sum(F.when(F.col("oc") == "late_ignored", 1).otherwise(0)).alias("rows_late_ignored"),
+            has_sp = source_partition_col in batch_df.columns
+            if mode == "mor":
+                # no target read in MoR: upsert/delete split comes from the
+                # batch ops; late-vs-fresh classification is deferred to
+                # scan-time collapse (Iceberg MoR behaves the same way)
+                sp_col = (
+                    F.col(source_partition_col).cast("int") if has_sp else F.lit(None).cast("int")
                 )
-                .collect()
-            )
+                stats = (
+                    batch_df.select(sp_col.alias("pid"), "op", "seq")
+                    .groupBy("pid")
+                    .agg(
+                        F.count("*").alias("rows_applied"),
+                        F.min("seq").alias("first_seq"),
+                        F.max("seq").alias("last_seq"),
+                        F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("rows_upserted"),
+                        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("rows_deleted"),
+                        F.lit(None).cast("long").alias("rows_late_ignored"),
+                    )
+                    .collect()
+                )
+            else:
+                sp_col = (
+                    F.col(f"s.{source_partition_col}").cast("int")
+                    if has_sp
+                    else F.lit(None).cast("int")
+                )
+                outcome = (
+                    F.when(~s_newer, F.lit("late_ignored"))
+                    .when(F.col("s.op") == "delete", F.lit("deleted"))
+                    .when(~t_here, F.lit("inserted"))
+                    .otherwise(F.lit("updated"))
+                )
+                stats = (
+                    j.where(s_here)
+                    .select(sp_col.alias("pid"), outcome.alias("oc"), F.col("s.seq").alias("seq"))
+                    .groupBy("pid")
+                    .agg(
+                        F.count("*").alias("rows_applied"),
+                        F.min("seq").alias("first_seq"),
+                        F.max("seq").alias("last_seq"),
+                        F.sum(F.when(F.col("oc").isin("inserted", "updated"), 1).otherwise(0)).alias("rows_upserted"),
+                        F.sum(F.when(F.col("oc") == "deleted", 1).otherwise(0)).alias("rows_deleted"),
+                        F.sum(F.when(F.col("oc") == "late_ignored", 1).otherwise(0)).alias("rows_late_ignored"),
+                    )
+                    .collect()
+                )
             latency_ms = (time.monotonic() - t0) * 1000.0
             by_pid = {
                 (None if r["pid"] is None else int(r["pid"])): r for r in stats
@@ -359,7 +427,11 @@ class SnapLake:
                         "rows_in": int(ins["rows_in"]),
                         "rows_upserted": 0 if r is None else int(r["rows_upserted"]),
                         "rows_deleted": 0 if r is None else int(r["rows_deleted"]),
-                        "rows_late_ignored": 0 if r is None else int(r["rows_late_ignored"]),
+                        "rows_late_ignored": (
+                            0 if r is None
+                            else None if r["rows_late_ignored"] is None
+                            else int(r["rows_late_ignored"])
+                        ),
                         "bytes": None if ins.get("bytes") is None else int(ins["bytes"]),
                         "apply_latency_ms": latency_ms,
                     }
@@ -378,6 +450,7 @@ class SnapLake:
             "table_uuid": man["table_uuid"],
             "schema": new_schema.jsonValue(),
             "n_buckets": n_buckets,
+            "mode": mode,
             "files": files,
             "parent": man["version"],
             "summary": {
@@ -400,6 +473,68 @@ class SnapLake:
             "lineage": lineage_rows,
             "apply_latency_ms": (time.monotonic() - t0) * 1000.0,
         }
+
+    # --------------------------------------------------------- compaction
+    def bucket_file_counts(self) -> dict[int, int]:
+        counts: dict[int, int] = {}
+        for f in self.manifest()["files"]:
+            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        return counts
+
+    def compact(self, spark: SparkSession, buckets: list[int]) -> dict[str, Any] | None:
+        """Fold the given buckets' base+delta files into fresh base files
+        (the Iceberg rewrite_data_files analog). Logical state is unchanged
+        — scan_internal already collapses — so this is a pure physical
+        rewrite, committed as its own snapshot. Deterministic: triggered by
+        file counts, which depend only on the epoch sequence."""
+        man = self.manifest()
+        if not buckets:
+            return None
+        version = man["version"] + 1
+        commit_id = "k" + _stable_hash(f"{man['table_uuid']}:compact:{version}")
+        out_rel = os.path.join("data", commit_id)
+        out_abs = os.path.join(self.path, out_rel)
+        if os.path.exists(out_abs):
+            import shutil
+
+            shutil.rmtree(out_abs)
+        bucket_set = set(buckets)
+        collapsed = self.scan_internal(spark, buckets=bucket_set).withColumn(
+            "_bucket", bucket_expr("url", man["n_buckets"])
+        )
+        nparts = max(1, min(len(bucket_set), spark.sparkContext.defaultParallelism))
+        (
+            collapsed.repartition(nparts, F.col("_bucket"))
+            .sortWithinPartitions("url")
+            .write.mode("errorifexists")
+            .partitionBy("_bucket")
+            .parquet(out_abs)
+        )
+        new_files = _walk_bucket_files(self.path, out_rel)
+        files = [f for f in man["files"] if f["bucket"] not in bucket_set] + new_files
+        new_man = {
+            **man,
+            "version": version,
+            "files": files,
+            "parent": man["version"],
+            "summary": {
+                "commit_id": commit_id,
+                "kind": "compaction",
+                "buckets": sorted(bucket_set),
+                "files_written": len(new_files),
+            },
+            "lineage": [],
+        }
+        self._write_manifest(new_man)
+        return {"version": version, "commit_id": commit_id, "buckets": sorted(bucket_set)}
+
+    def maybe_compact(self, spark: SparkSession, max_files_per_bucket: int = 8):
+        """Compact every bucket whose live file count exceeds the bound —
+        keeps MoR scan cost O(max_files_per_bucket) per bucket."""
+        over = [
+            b for b, n in self.bucket_file_counts().items() if n > max_files_per_bucket
+        ]
+        return self.compact(spark, sorted(over))
 
     # ---------------------------------------------------- ledger / lineage
     def ledger_df(self, spark: SparkSession) -> DataFrame:

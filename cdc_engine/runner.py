@@ -61,6 +61,9 @@ def replay(
         r = apply_epoch(spark, lake, batch, epoch_id=k, cfg=cfg)
         if r is not None:
             results.append(r)
+            # MoR hygiene: fold delta files back into base once a bucket
+            # accumulates too many (no-op for COW tables — one file/bucket)
+            lake.maybe_compact(spark, cfg.compact_after_files)
         done += 1
         if max_epochs is not None and done >= max_epochs:
             break
@@ -84,7 +87,9 @@ def ingest_stream(
     stream = open_stream(spark, wal_dir, max_files_per_trigger=max_files_per_trigger)
 
     def _apply(batch_df, epoch_id: int):
-        apply_epoch(spark, lake, batch_df, epoch_id=int(epoch_id), cfg=cfg)
+        r = apply_epoch(spark, lake, batch_df, epoch_id=int(epoch_id), cfg=cfg)
+        if r is not None:
+            lake.maybe_compact(spark, cfg.compact_after_files)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

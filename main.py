@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""spark-submit entry point (BASELINE.json:14 "packaged for spark-submit
+--py-files on a multi-executor cluster").
+
+Cluster usage:
+    python package.py                      # builds dist/cdc_engine.zip
+    spark-submit --py-files dist/cdc_engine.zip main.py ingest \\
+        --wal /data/wal --lake /data/pages --checkpoint /ckpt/pages \\
+        --n-buckets 4096 --mode mor --tail
+
+Sandbox usage (local[N] master comes from the session builder):
+    python main.py replay --wal /tmp/wal --lake /tmp/lake
+
+Subcommands:
+    ingest   — Structured Streaming tail (availableNow by default; --tail
+               runs forever on a processing-time trigger)
+    replay   — deterministic bounded replay by seq-range epochs (resumes
+               from the ledger automatically)
+    compact  — fold merge-on-read delta files back into base files
+    status   — print snapshot version, ledger range, file/bucket stats
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_engine import CdcConfig, SnapLake, ingest_stream, replay
+from cdc_engine.schemas import PAGES_SCHEMA_V1
+from cdc_engine.session import build_session
+
+
+def _lake(args) -> SnapLake:
+    if SnapLake.exists(args.lake):
+        return SnapLake(args.lake)
+    return SnapLake.create(
+        args.lake, PAGES_SCHEMA_V1, n_buckets=args.n_buckets, mode=args.mode
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="cdc_engine")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--lake", required=True)
+        p.add_argument("--n-buckets", type=int, default=64)
+        p.add_argument("--mode", choices=("cow", "mor"), default="mor")
+        p.add_argument("--events-per-epoch", type=int, default=100_000)
+        p.add_argument("--compact-after-files", type=int, default=8)
+        p.add_argument("--master", default=None)
+
+    p = sub.add_parser("ingest")
+    common(p)
+    p.add_argument("--wal", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--tail", action="store_true", help="run forever (processing-time trigger)")
+    p.add_argument("--max-files-per-trigger", type=int, default=1)
+
+    p = sub.add_parser("replay")
+    common(p)
+    p.add_argument("--wal", required=True)
+    p.add_argument("--max-epochs", type=int, default=None)
+
+    p = sub.add_parser("compact")
+    common(p)
+
+    p = sub.add_parser("status")
+    common(p)
+
+    args = ap.parse_args(argv)
+    spark = build_session(f"cdc_engine-{args.cmd}", master=args.master)
+    cfg = CdcConfig(
+        events_per_epoch=args.events_per_epoch,
+        n_buckets=args.n_buckets,
+        compact_after_files=args.compact_after_files,
+    )
+
+    if args.cmd == "ingest":
+        lake = _lake(args)
+        ingest_stream(
+            spark, lake, args.wal, checkpoint_dir=args.checkpoint, cfg=cfg,
+            available_now=not args.tail,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        n, h = lake.state_hash(spark)
+        print(json.dumps({"version": lake.head_version(), "rows": n, "state_hash": h}))
+    elif args.cmd == "replay":
+        lake = _lake(args)
+        results = replay(spark, lake, args.wal, cfg, max_epochs=args.max_epochs)
+        n, h = lake.state_hash(spark)
+        print(json.dumps({
+            "epochs_applied": len(results), "version": lake.head_version(),
+            "rows": n, "state_hash": h,
+        }))
+    elif args.cmd == "compact":
+        lake = SnapLake(args.lake)
+        r = lake.compact(spark, sorted(lake.bucket_file_counts()))
+        print(json.dumps(r or {}))
+    elif args.cmd == "status":
+        lake = SnapLake(args.lake)
+        man = lake.manifest()
+        epochs = sorted(int(k) for k in man["ledger"])
+        counts = lake.bucket_file_counts()
+        print(json.dumps({
+            "version": man["version"],
+            "mode": man.get("mode", "cow"),
+            "schema": [f.name for f in lake.schema().fields],
+            "epochs": [epochs[0], epochs[-1]] if epochs else [],
+            "files": len(man["files"]),
+            "max_files_per_bucket": max(counts.values()) if counts else 0,
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
