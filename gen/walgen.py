@@ -193,7 +193,14 @@ def _write_segments(out_dir: str, df: pd.DataFrame, cfg: WalConfig) -> None:
         tbl = pa.Table.from_pandas(seg[cols], schema=schema, preserve_index=False)
         d = os.path.join(out_dir, f"v{version}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(tbl, os.path.join(d, f"segment-{k * e:012d}.parquet"))
+        # modest row groups so Spark can split one segment file into many
+        # input partitions (a Kafka topic has partition-parallelism for free;
+        # the file WAL must provide it via row-group alignment)
+        pq.write_table(
+            tbl,
+            os.path.join(d, f"segment-{k * e:012d}.parquet"),
+            row_group_size=50_000,
+        )
 
 
 def compute_oracle(events: pd.DataFrame, cfg: WalConfig) -> pd.DataFrame:
