@@ -61,7 +61,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     try:
         wal = _gen_wal(tmp)  # generation excluded from timing
-        spark = build_session("cdc_bench")
+        spark = build_session(
+            "cdc_bench", extra={"spark.sql.files.maxPartitionBytes": "33554432"}
+        )
 
         # JVM/codegen/shuffle warm-up on a throwaway lake (first-run effects
         # are ~3x and not what we're measuring)
@@ -107,7 +109,8 @@ def main() -> None:
                     "queries": timings,
                     "sf": _sf_tag(SF_DIR),
                     "events": N_EVENTS,
-                    "events_per_sec": round(N_EVENTS / timings["cdc_ingest"], 1),
+                    "events_per_sec_cow": round(N_EVENTS / timings["cdc_ingest"], 1),
+                    "events_per_sec_mor": round(N_EVENTS / timings["cdc_ingest_mor"], 1),
                 }
             )
         )

@@ -75,8 +75,8 @@ def _burn(n: int) -> int:
     return s
 
 
-def run_child(master: str, mode: str, wal: str, tmp: str, epoch: int) -> dict:
-    tag = f"{mode}_{master.replace('[', '_').replace(']', '')}"
+def run_child(master: str, mode: str, wal: str, tmp: str, epoch: int, trial: int = 0) -> dict:
+    tag = f"{mode}_{master.replace('[', '_').replace(']', '')}_t{trial}"
     out = os.path.join(tmp, f"result_{tag}.json")
     lake_dir = os.path.join(tmp, f"lake_{tag}")
     env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1", CDC_REPO=REPO)
@@ -141,7 +141,7 @@ def main() -> None:
         for trial in range(a.trials):
             for master in (a.low, a.high):
                 print(f"running {mode} @ {master} (trial {trial + 1}) ...", flush=True)
-                r = run_child(master, mode, wal, tmp, a.epoch)
+                r = run_child(master, mode, wal, tmp, a.epoch, trial)
                 r["events_per_sec"] = a.events / r["wall_sec"]
                 best = results[mode].get(master)
                 if best is None or r["wall_sec"] < best["wall_sec"]:

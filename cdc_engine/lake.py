@@ -481,12 +481,24 @@ class SnapLake:
             counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
         return counts
 
-    def compact(self, spark: SparkSession, buckets: list[int]) -> dict[str, Any] | None:
+    def compact(
+        self,
+        spark: SparkSession,
+        buckets: list[int],
+        purge_tombstones_older_than_seq: int | None = None,
+    ) -> dict[str, Any] | None:
         """Fold the given buckets' base+delta files into fresh base files
         (the Iceberg rewrite_data_files analog). Logical state is unchanged
         — scan_internal already collapses — so this is a pure physical
         rewrite, committed as its own snapshot. Deterministic: triggered by
-        file counts, which depend only on the epoch sequence."""
+        file counts, which depend only on the epoch sequence.
+
+        ``purge_tombstones_older_than_seq``: optionally drop tombstone rows
+        whose winning seq is below the given WAL horizon. Safe ONLY when the
+        caller guarantees no event with seq < horizon can still arrive
+        (i.e. the source's replay window has passed) — otherwise a purged
+        tombstone would let an ancient out-of-order insert resurrect the
+        url. Live-row semantics are unaffected either way."""
         man = self.manifest()
         if not buckets:
             return None
@@ -499,7 +511,15 @@ class SnapLake:
 
             shutil.rmtree(out_abs)
         bucket_set = set(buckets)
-        collapsed = self.scan_internal(spark, buckets=bucket_set).withColumn(
+        collapsed = self.scan_internal(spark, buckets=bucket_set)
+        if purge_tombstones_older_than_seq is not None:
+            collapsed = collapsed.where(
+                ~(
+                    F.col(INTERNAL_DELETED)
+                    & (F.col(INTERNAL_SEQ) < purge_tombstones_older_than_seq)
+                )
+            )
+        collapsed = collapsed.withColumn(
             "_bucket", bucket_expr("url", man["n_buckets"])
         )
         nparts = max(1, min(len(bucket_set), spark.sparkContext.defaultParallelism))

@@ -23,6 +23,21 @@ def salted_repartition(df: DataFrame, key_col: str = "url", num_partitions: int 
     return df.repartition(num_partitions, bucket_expr(key_col, num_partitions))
 
 
+def hot_domains(df: DataFrame, key_col: str = "url", k: int = 20, sample: float = 0.0) -> DataFrame:
+    """A5: top-k heavy-hitter domains — the skew sensor feeding salt/bucket
+    decisions (and an ops dashboard). Optionally sampled: at 10^10 events a
+    1e-4 sample ranks hot domains to well within top-k accuracy for zipf
+    traffic, at 1/10000 of the scan."""
+    src = df.sample(sample, seed=42) if sample else df
+    dom = F.regexp_extract(F.col(key_col), r"^https?://([^/]+)", 1)
+    return (
+        src.groupBy(dom.alias("domain"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "domain")
+        .limit(k)
+    )
+
+
 def partition_balance(df: DataFrame, key_col: str = "url", num_partitions: int = 32):
     """(max/mean, sizes) of the partition histogram the salted shuffle yields.
 
