@@ -48,8 +48,10 @@ def apply_epoch(
     # the raw batch: per-source-partition input stats (ledger/lineage must
     # record the FULL consumed offset range, not just LWW winners — S6/S7),
     # emptiness, and the set of touched lake buckets (saves merge a separate
-    # distinct-buckets job). Narrow scan: seq, source_partition, url-hash,
-    # octet_length(html).
+    # distinct-buckets job). Deliberately NARROW: seq, source_partition and
+    # the url hash only — lineage byte accounting comes from the cached
+    # deduped winners inside merge, so the wide html column is never scanned
+    # twice (a full extra pass over ~80% of the batch bytes otherwise).
     n_buckets = lake.manifest()["n_buckets"]
     sp = F.col("source_partition").cast("int") if "source_partition" in df.columns else F.lit(None).cast("int")
     stats_rows = (
@@ -58,7 +60,6 @@ def apply_epoch(
             F.count("*").alias("rows_in"),
             F.min("seq").alias("first_seq"),
             F.max("seq").alias("last_seq"),
-            F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).alias("bytes"),
             F.collect_set(bucket_expr("url", n_buckets)).alias("buckets"),
         )
         .collect()
@@ -71,7 +72,7 @@ def apply_epoch(
             "rows_in": int(r["rows_in"]),
             "first_seq": int(r["first_seq"]),
             "last_seq": int(r["last_seq"]),
-            "bytes": int(r["bytes"]),
+            "bytes": None,  # filled by merge from the cached winners
         }
         for r in stats_rows
     ]

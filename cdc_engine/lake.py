@@ -358,7 +358,10 @@ class SnapLake:
                     F.col(source_partition_col).cast("int") if has_sp else F.lit(None).cast("int")
                 )
                 stats = (
-                    batch_df.select(sp_col.alias("pid"), "op", "seq")
+                    batch_df.select(
+                        sp_col.alias("pid"), "op", "seq",
+                        F.octet_length("html").alias("b"),
+                    )
                     .groupBy("pid")
                     .agg(
                         F.count("*").alias("rows_applied"),
@@ -367,6 +370,7 @@ class SnapLake:
                         F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("rows_upserted"),
                         F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("rows_deleted"),
                         F.lit(None).cast("long").alias("rows_late_ignored"),
+                        F.coalesce(F.sum("b"), F.lit(0)).alias("bytes"),
                     )
                     .collect()
                 )
@@ -384,7 +388,11 @@ class SnapLake:
                 )
                 stats = (
                     j.where(s_here)
-                    .select(sp_col.alias("pid"), outcome.alias("oc"), F.col("s.seq").alias("seq"))
+                    .select(
+                        sp_col.alias("pid"), outcome.alias("oc"),
+                        F.col("s.seq").alias("seq"),
+                        F.octet_length(F.col("s.html")).alias("b"),
+                    )
                     .groupBy("pid")
                     .agg(
                         F.count("*").alias("rows_applied"),
@@ -393,6 +401,7 @@ class SnapLake:
                         F.sum(F.when(F.col("oc").isin("inserted", "updated"), 1).otherwise(0)).alias("rows_upserted"),
                         F.sum(F.when(F.col("oc") == "deleted", 1).otherwise(0)).alias("rows_deleted"),
                         F.sum(F.when(F.col("oc") == "late_ignored", 1).otherwise(0)).alias("rows_late_ignored"),
+                        F.coalesce(F.sum("b"), F.lit(0)).alias("bytes"),
                     )
                     .collect()
                 )
@@ -432,7 +441,13 @@ class SnapLake:
                             else None if r["rows_late_ignored"] is None
                             else int(r["rows_late_ignored"])
                         ),
-                        "bytes": None if ins.get("bytes") is None else int(ins["bytes"]),
+                        # bytes applied (winner payload), measured off the
+                        # cached deduped batch — never a second wide scan
+                        "bytes": (
+                            int(r["bytes"])
+                            if r is not None and "bytes" in r
+                            else None if ins.get("bytes") is None else int(ins["bytes"])
+                        ),
                         "apply_latency_ms": latency_ms,
                     }
                 )
