@@ -265,6 +265,81 @@ def q_window_rank_sources(spark, sf):
     )
 
 
+def q_tpch_q3_topk(spark, sf):
+    """Q3-style shipping-priority: 3-way join, revenue agg, top-k."""
+    cust = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = t(spark, sf, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    rev = _milli(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_milli"))
+        .orderBy(F.desc("revenue_milli"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", "revenue_milli")
+    )
+
+
+def q_tpch_q5_region(spark, sf):
+    """Q5-style local-supplier volume: 6-way join keyed through region."""
+    rev = _milli(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        t(spark, sf, "customer")
+        .join(t(spark, sf, "orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t(spark, sf, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t(spark, sf, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t(spark, sf, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t(spark, sf, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_milli"), F.count("*").alias("n"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_rollup_pricing(spark, sf):
+    """Multi-level ROLLUP aggregate (grouping-sets family)."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum(_milli(F.col("l_quantity"))).alias("qty_milli"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q_embedding_neardup_pairs(spark, sf):
+    """Near-duplicate embedding pairs within a label block: integer-exact
+    cosine^2 >= 0.9^2 via quantized dot and norm products (no float
+    accumulation, so the DuckDB oracle matches bit-for-bit)."""
+    from cdc_engine.simsearch import dot_q
+
+    emb = t(spark, sf, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    j = a.join(b, (F.col("la") == F.col("lb")) & (F.col("va") < F.col("vb")))
+    d = j.select(
+        "va", "vb",
+        dot_q("ea", "eb").alias("dot_q"),
+        dot_q("ea", "ea").alias("na2"),
+        dot_q("eb", "eb").alias("nb2"),
+    )
+    # cos >= 0.9 (and dot > 0):  100*dot^2 >= 81*na2*nb2
+    return (
+        d.where((F.col("dot_q") > 0) & (100 * F.col("dot_q") * F.col("dot_q") >= 81 * F.col("na2") * F.col("nb2")))
+        .select("va", "vb", "dot_q")
+        .orderBy("va", "vb")
+    )
+
+
 # --- training-data / text / similarity ------------------------------------
 
 def q_dedup_exact_stats(spark, sf):
@@ -502,6 +577,50 @@ ORACLE_SQL: dict[str, str] = {
             FROM documents GROUP BY source)
         ORDER BY rnk, source
     """,
+    "tpch_q3_topk": """
+        SELECT o_orderkey, o_orderdate,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT)) AS revenue_milli
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue_milli DESC, o_orderkey LIMIT 10
+    """,
+    "tpch_q5_region": """
+        SELECT r_name, n_name,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT)) AS revenue_milli,
+               COUNT(*) AS n
+        FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_nationkey = s.s_nationkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+    "rollup_pricing": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               SUM(CAST(ROUND(l_quantity * 1000) AS BIGINT)) AS qty_milli
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "embedding_neardup_pairs": f"""
+        WITH d AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 {_DOT_SQL.format(a='a.embedding', b='b.embedding')} AS dot_q,
+                 {_DOT_SQL.format(a='a.embedding', b='a.embedding')} AS na2,
+                 {_DOT_SQL.format(a='b.embedding', b='b.embedding')} AS nb2
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id,
+               range(1, 65) t(i)
+          GROUP BY a.vec_id, b.vec_id)
+        SELECT va, vb, dot_q FROM d
+        WHERE dot_q > 0 AND 100 * dot_q * dot_q >= 81 * na2 * nb2
+        ORDER BY va, vb
+    """,
     "dedup_exact_stats": """
         SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents
     """,
@@ -633,6 +752,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "broadcast_dim_join": q_broadcast_dim_join,
     "semi_join_customers": q_semi_join_customers,
     "tpch_q1_pricing": q_tpch_q1_pricing,
+    "tpch_q3_topk": q_tpch_q3_topk,
+    "tpch_q5_region": q_tpch_q5_region,
+    "rollup_pricing": q_rollup_pricing,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "scalar_url_extract": q_scalar_url_extract,
     "window_rank_sources": q_window_rank_sources,
     "dedup_exact_stats": q_dedup_exact_stats,
