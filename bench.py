@@ -85,10 +85,11 @@ def main() -> None:
             "lww_dedup_latest",
             "cdc_merge_outcomes",
             "tpch_q1_pricing",
+            "tpch_q3_topk",
+            "tpch_q5_region",
             "broadcast_dim_join",
             "running_window",
             "minhash_signatures",
-            "lsh_candidates",
             "simsearch_brute_topk",
             "ann_ivf_assign",
             "quality_scores",
