@@ -357,10 +357,12 @@ class SnapLake:
                 sp_col = (
                     F.col(source_partition_col).cast("int") if has_sp else F.lit(None).cast("int")
                 )
+                blen = (
+                    F.octet_length("html") if "html" in batch_df.columns else F.lit(None).cast("int")
+                )
                 stats = (
                     batch_df.select(
-                        sp_col.alias("pid"), "op", "seq",
-                        F.octet_length("html").alias("b"),
+                        sp_col.alias("pid"), "op", "seq", blen.alias("b"),
                     )
                     .groupBy("pid")
                     .agg(
@@ -391,7 +393,11 @@ class SnapLake:
                     .select(
                         sp_col.alias("pid"), outcome.alias("oc"),
                         F.col("s.seq").alias("seq"),
-                        F.octet_length(F.col("s.html")).alias("b"),
+                        (
+                            F.octet_length(F.col("s.html"))
+                            if "html" in batch_df.columns
+                            else F.lit(None).cast("int")
+                        ).alias("b"),
                     )
                     .groupBy("pid")
                     .agg(
@@ -596,6 +602,13 @@ class SnapLake:
                 rows.append(tuple(r[f.name] for f in _LINEAGE_SCHEMA.fields))
             v = man["parent"]
         return spark.createDataFrame(rows, _LINEAGE_SCHEMA)
+
+    def export_metrics(self, spark: SparkSession, out_dir: str) -> None:
+        """Materialize the offset ledger + per-partition lineage as parquet
+        tables (the queryable 'metrics table' form of BASELINE.json:6; the
+        authoritative copies stay inside the atomic manifests)."""
+        self.ledger_df(spark).write.mode("overwrite").parquet(os.path.join(out_dir, "ledger"))
+        self.lineage_df(spark).write.mode("overwrite").parquet(os.path.join(out_dir, "lineage"))
 
     # -------------------------------------------------------- verification
     def state_hash(self, spark: SparkSession, version: int | None = None) -> tuple[int, int]:
