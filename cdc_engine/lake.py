@@ -210,11 +210,64 @@ class SnapLake:
             )
         return df
 
-    def scan(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Live rows, user columns only (tombstones filtered)."""
-        df = self.scan_internal(spark, version)
-        user_cols = [f.name for f in self.schema(version).fields]
+    def scan(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> DataFrame:
+        """Live rows, user columns only (tombstones filtered).
+
+        ``ts_min``/``ts_max`` (datetime): optional warc_ts bounds. Row-level
+        filtering always applies; additionally, whole files are pruned via
+        the manifest's footer-stat ranges when that is LWW-safe — i.e. when
+        every candidate file is a base file (each row is current state).
+        With MoR delta files present, file pruning could hide a row's newer
+        version, so only the row filter (post-collapse) is used."""
+        man = self.manifest(version)
+        files = self._files(man)
+        all_base = all(f.get("kind", "base") == "base" for f in files)
+        buckets = None
+        if (ts_min is not None or ts_max is not None) and all_base:
+            keep = set()
+            for f in files:
+                lo, hi = f.get("ts_min"), f.get("ts_max")
+                if lo is None or hi is None:
+                    keep.add(f["bucket"])
+                    continue
+                from datetime import datetime as _dt
+
+                flo, fhi = _dt.fromisoformat(lo), _dt.fromisoformat(hi)
+                if (ts_max is None or flo <= ts_max) and (ts_min is None or fhi >= ts_min):
+                    keep.add(f["bucket"])
+            # prune at file granularity via the bucket filter on exact files
+            df = self.scan_internal(spark, version, buckets=keep)
+        else:
+            df = self.scan_internal(spark, version)
+        if ts_min is not None:
+            df = df.where(F.col("warc_ts") >= F.lit(ts_min))
+        if ts_max is not None:
+            df = df.where(F.col("warc_ts") <= F.lit(ts_max))
+        user_cols = [f.name for f in T.StructType.fromJson(man["schema"]).fields]
         return df.where(~F.col(INTERNAL_DELETED)).select(*user_cols)
+
+    def prunable_files(self, ts_min, ts_max, version: int | None = None) -> tuple[int, int]:
+        """(files kept, files total) for a time-bounded scan — the pruning
+        observability hook used by tests and ops."""
+        files = self._files(self.manifest(version))
+        from datetime import datetime as _dt
+
+        kept = 0
+        for f in files:
+            lo, hi = f.get("ts_min"), f.get("ts_max")
+            if lo is None or hi is None:
+                kept += 1
+                continue
+            flo, fhi = _dt.fromisoformat(lo), _dt.fromisoformat(hi)
+            if (ts_max is None or flo <= ts_max) and (ts_min is None or fhi >= ts_min):
+                kept += 1
+        return kept, len(files)
 
     # -------------------------------------------------------------- merge
     def merge(
@@ -626,6 +679,13 @@ class SnapLake:
         return int(r["n"]), int(r["h"])
 
 
+def _naive_utc(d):
+    """Footer stats may come back tz-aware; store/compare naive UTC."""
+    if hasattr(d, "tzinfo") and d.tzinfo is not None:
+        return d.astimezone(timezone.utc).replace(tzinfo=None)
+    return d
+
+
 def _stable_hash(s: str) -> str:
     import hashlib
 
@@ -633,7 +693,12 @@ def _stable_hash(s: str) -> str:
 
 
 def _walk_bucket_files(root: str, rel_dir: str) -> list[dict]:
-    """Collect parquet files written under data/<commit>/_bucket=K/."""
+    """Collect parquet files written under data/<commit>/_bucket=K/.
+
+    Each manifest entry carries the file's warc_ts min/max (from parquet
+    footer statistics) so time-bounded scans prune whole files without
+    opening them — the manifest-level analog of Iceberg's days(warc_ts)
+    partition pruning, composable with the url-hash bucket pruning."""
     out: list[dict] = []
     base = os.path.join(root, rel_dir)
     for dirpath, _dirs, names in os.walk(base):
@@ -645,12 +710,28 @@ def _walk_bucket_files(root: str, rel_dir: str) -> list[dict]:
             if not n.endswith(".parquet"):
                 continue
             ap = os.path.join(dirpath, n)
+            md = pq.ParquetFile(ap).metadata
+            ts_lo = ts_hi = None
+            try:
+                idx = md.schema.names.index("warc_ts")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        ts_lo = ts_hi = None
+                        break
+                    lo, hi = _naive_utc(st.min), _naive_utc(st.max)
+                    ts_lo = lo if ts_lo is None else min(ts_lo, lo)
+                    ts_hi = hi if ts_hi is None else max(ts_hi, hi)
+            except ValueError:
+                pass
             out.append(
                 {
                     "path": os.path.relpath(ap, root),
                     "bucket": bucket,
-                    "rows": pq.ParquetFile(ap).metadata.num_rows,
+                    "rows": md.num_rows,
                     "bytes": os.path.getsize(ap),
+                    "ts_min": None if ts_lo is None else ts_lo.isoformat(),
+                    "ts_max": None if ts_hi is None else ts_hi.isoformat(),
                 }
             )
     return sorted(out, key=lambda f: (f["bucket"], f["path"]))

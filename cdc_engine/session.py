@@ -36,6 +36,9 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # modern timestamp physical type: INT96 (the legacy default) writes
+        # NO min/max statistics, which would blind manifest time pruning
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
     for k, v in (extra or {}).items():
