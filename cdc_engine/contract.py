@@ -187,6 +187,14 @@ def q_except_diff(spark, sf):
     return clicks.exceptAll(buys).orderBy("user_id")
 
 
+def q_intersect_users(spark, sf):
+    """U3 intersect: users seen both clicking and purchasing."""
+    ev = t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys).orderBy("user_id")
+
+
 def q_time_bucket_hourly(spark, sf):
     ev = t(spark, sf, "events")
     return (
@@ -390,11 +398,23 @@ def q_multimodal_blob_meta(spark, sf):
     return blob_meta(t(spark, sf, "documents"))
 
 
-# --- rows-only queries (no SQL-expressible oracle) -------------------------
-
 def q_approx_distinct_users(spark, sf):
+    """A4 HLL++ sketch, cross-engine checkable: the query returns the EXACT
+    distinct count plus a boolean asserting the sketch landed within 3x its
+    configured rsd of it — the oracle recomputes the exact count and expects
+    TRUE, so a broken sketch (or exact count) fails the driver hash."""
+    rsd = 0.02
     ev = t(spark, sf, "events")
-    return ev.agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd).alias("approx"),
+    ).select(
+        "n_users_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_users_exact"))
+            <= 3 * rsd * F.col("n_users_exact")
+        ).alias("within_bound"),
+    )
 
 
 def q_simhash_fingerprints(spark, sf):
@@ -402,14 +422,41 @@ def q_simhash_fingerprints(spark, sf):
 
 
 def q_multimodal_features_stub(spark, sf):
-    return featurize_documents(t(spark, sf, "documents"))
+    """mapInPandas featurize plumbing; the contract projection is scalar-only
+    (fingerprint of the feature vector, not the raw array — array cells are
+    unhashable in the driver's pandas canonicalizer, round-1 crash)."""
+    feats = featurize_documents(t(spark, sf, "documents"))
+    return feats.select(
+        "doc_id",
+        "modality",
+        "blob_bytes",
+        "feature_dim",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("feature_head", lambda x: F.format_string("%.6f", x))
+            )
+        ).alias("feature_fp"),
+    ).orderBy("doc_id")
+
+
+# Fixed path for the replay oracle's comparable final state: the Spark query
+# (which knows sf_dir) materializes the independent pandas-oracle state here,
+# and the static oracle SQL reads it back — so the flagship stateful pipeline
+# gets a full rows+schema+hash driver check against an independently-computed
+# result, not a rows-only smoke count.
+REPLAY_ORACLE_PARQUET = "/tmp/spark_graft_replay_oracle/final_state.parquet"
 
 
 def q_cdc_replay_mini(spark, sf):
     """The flagship: the actual CDC engine end-to-end on a WAL derived from
-    this sf's documents — generate, replay, scan. Non-SQL-expressible
-    (stateful multi-epoch pipeline); golden-tested against the pandas
-    oracle in tests/."""
+    this sf's documents — generate, replay, scan. The WAL generator also
+    emits the sequential pandas oracle; this query writes that oracle's
+    comparable projection to REPLAY_ORACLE_PARQUET for the DuckDB side.
+    Projection notes: timestamps as unix micros (no tz ambiguity), html as
+    an md5 fingerprint (binary cells are driver-unhashable), fetch_status
+    null-coalesced to -1 (nullable-int pandas dtype drift)."""
+    import hashlib
+    import os
     import tempfile
 
     from cdc_engine import CdcConfig, SnapLake, replay
@@ -418,7 +465,7 @@ def q_cdc_replay_mini(spark, sf):
 
     base = tempfile.mkdtemp(prefix="cdc_entry_")
     wal_dir = f"{base}/wal"
-    generate_wal(
+    oracle = generate_wal(
         wal_dir,
         WalConfig(
             n_events=3_000,
@@ -427,9 +474,30 @@ def q_cdc_replay_mini(spark, sf):
             docs_parquet=f"{sf}/documents.parquet",
         ),
     )
+
+    o = oracle.copy()
+    o["warc_ts_us"] = o["warc_ts"].astype("int64") // 1000
+    o["html_fp"] = o["html"].map(
+        lambda b: None if b is None else hashlib.md5(b).hexdigest()
+    )
+    o["fetch_status"] = o["fetch_status"].fillna(-1).astype("int64")
+    os.makedirs(os.path.dirname(REPLAY_ORACLE_PARQUET), exist_ok=True)
+    o[["url", "warc_ts_us", "html_fp", "text", "lang", "fetch_status"]].to_parquet(
+        REPLAY_ORACLE_PARQUET, index=False
+    )
+
     lake = SnapLake.create(f"{base}/lake", PAGES_SCHEMA_V1, n_buckets=8)
     replay(spark, lake, wal_dir, CdcConfig(events_per_epoch=1_000))
-    return lake.scan(spark).orderBy("url")
+    return lake.scan(spark).select(
+        "url",
+        F.unix_micros(F.col("warc_ts")).alias("warc_ts_us"),
+        F.md5("html").alias("html_fp"),
+        "text",
+        "lang",
+        F.coalesce(F.col("fetch_status").cast("long"), F.lit(-1).cast("long")).alias(
+            "fetch_status"
+        ),
+    ).orderBy("url")
 
 
 # --------------------------------------------------------------------------
@@ -443,12 +511,27 @@ _TOK_CTE = (
     "WHERE w <> '')"
 )
 
+# outer CAST: DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders as
+# float64 — the driver's value-hash is dtype-sensitive, so every integer SUM
+# must be cast back to BIGINT to match Spark's int64 (round-1 lesson: this
+# one artifact caused all 10 hash mismatches)
 _DOT_SQL = (
-    "SUM(CAST(ROUND(CAST({a}[i] AS DOUBLE) * 1000) AS BIGINT) * "
-    "CAST(ROUND(CAST({b}[i] AS DOUBLE) * 1000) AS BIGINT))"
+    "CAST(SUM(CAST(ROUND(CAST({a}[i] AS DOUBLE) * 1000) AS BIGINT) * "
+    "CAST(ROUND(CAST({b}[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)"
 )
 
 _STOP_EN = STOPWORDS["en"]
+
+# 48-bit SimHash in SQL: one sign-sum per bit, then recompose the fingerprint.
+# (DuckDB SUM returns HUGEINT but the sums are only compared, never output.)
+_SIMHASH_H = "('0x' || substring(md5(w), 1, 12))::BIGINT"
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (({_SIMHASH_H} >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(48)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN s{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END" for i in range(48)
+)
 
 ORACLE_SQL: dict[str, str] = {
     "lww_dedup_latest": """
@@ -494,7 +577,7 @@ ORACLE_SQL: dict[str, str] = {
     "epoch_stats": """
         SELECT CAST(FLOOR(event_id / 1000.0) AS BIGINT) AS epoch, COUNT(*) AS n,
                MIN(event_id) AS first_seq, MAX(event_id) AS last_seq,
-               SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS value_milli
+               CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         FROM events GROUP BY 1 ORDER BY 1
     """,
     "hot_keys_topk": """
@@ -508,7 +591,7 @@ ORACLE_SQL: dict[str, str] = {
     "running_window": """
         SELECT user_id, event_id,
                COUNT(*) OVER w AS rn,
-               SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER w AS run_milli
+               CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS run_milli
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -536,6 +619,13 @@ ORACLE_SQL: dict[str, str] = {
             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         ) ORDER BY user_id
     """,
+    "intersect_users": """
+        SELECT user_id FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        ) ORDER BY user_id
+    """,
     "time_bucket_hourly": """
         SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
@@ -546,7 +636,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "broadcast_dim_join": """
         SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n,
-               SUM(CAST(ROUND(o.o_totalprice * 1000) AS BIGINT)) AS total_milli
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 1000) AS BIGINT)) AS BIGINT) AS total_milli
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
     """,
@@ -556,8 +646,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "tpch_q1_pricing": """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(ROUND(l_quantity * 1000) AS BIGINT)) AS sum_qty_milli,
-               SUM(CAST(ROUND(l_extendedprice * 1000) AS BIGINT)) AS sum_price_milli,
+               CAST(SUM(CAST(ROUND(l_quantity * 1000) AS BIGINT)) AS BIGINT) AS sum_qty_milli,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 1000) AS BIGINT)) AS BIGINT) AS sum_price_milli,
                COUNT(*) AS n
         FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
         GROUP BY 1, 2 ORDER BY 1, 2
@@ -579,7 +669,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "tpch_q3_topk": """
         SELECT o_orderkey, o_orderdate,
-               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT)) AS revenue_milli
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT)) AS BIGINT) AS revenue_milli
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
              JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         WHERE c.c_mktsegment = 'BUILDING'
@@ -590,7 +680,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "tpch_q5_region": """
         SELECT r_name, n_name,
-               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT)) AS revenue_milli,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT)) AS BIGINT) AS revenue_milli,
                COUNT(*) AS n
         FROM customer c
           JOIN orders o ON c.c_custkey = o.o_custkey
@@ -603,7 +693,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "rollup_pricing": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               SUM(CAST(ROUND(l_quantity * 1000) AS BIGINT)) AS qty_milli
+               CAST(SUM(CAST(ROUND(l_quantity * 1000) AS BIGINT)) AS BIGINT) AS qty_milli
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
@@ -725,6 +815,24 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
         FROM documents ORDER BY doc_id
     """,
+    "approx_distinct_users": """
+        SELECT COUNT(DISTINCT user_id) AS n_users_exact, TRUE AS within_bound
+        FROM events
+    """,
+    "simhash_fingerprints": f"""
+        WITH {_TOK_CTE},
+        s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE CAST({_SIMHASH_FP} AS BIGINT) END AS simhash
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        ORDER BY d.doc_id
+    """,
+    "cdc_replay_mini": f"""
+        SELECT url, warc_ts_us, html_fp, text, lang, fetch_status
+        FROM read_parquet('{REPLAY_ORACLE_PARQUET}')
+        ORDER BY url
+    """,
     "multimodal_blob_meta": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS blob_bytes,
                md5(text) AS content_fp,
@@ -747,6 +855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lag_gap_audit": q_lag_gap_audit,
     "union_schema_merge": q_union_schema_merge,
     "except_diff": q_except_diff,
+    "intersect_users": q_intersect_users,
     "time_bucket_hourly": q_time_bucket_hourly,
     "json_props_extract": q_json_props_extract,
     "broadcast_dim_join": q_broadcast_dim_join,
@@ -770,10 +879,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
     "multimodal_blob_meta": q_multimodal_blob_meta,
-    # rows-only (no SQL-expressible oracle): stateful engine runs, sketches,
-    # pandas-UDF fingerprints, mapInPandas feature plumbing
     "cdc_replay_mini": q_cdc_replay_mini,
     "approx_distinct_users": q_approx_distinct_users,
     "simhash_fingerprints": q_simhash_fingerprints,
+    # rows-only (no SQL-expressible oracle): mapInPandas feature plumbing
+    # over a stubbed decoder — nothing DuckDB could recompute byte-level
     "multimodal_features_stub": q_multimodal_features_stub,
 }

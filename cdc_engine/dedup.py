@@ -37,7 +37,7 @@ def lww_dedup(
     key: str = "url",
     ts: str = "warc_ts",
     seq: str = "seq",
-    strategy: str = "maxby",
+    strategy: str = "window",
     salt_buckets: int = 0,
 ) -> DataFrame:
     """One row per ``key``: the event with max (ts, seq). Schema preserved."""

@@ -5,7 +5,8 @@
                          blocked by lang to bound the candidate space
   * MinHash + LSH      — k md5-derived minhashes, banded into LSH buckets,
                          bucket-join for candidate pairs
-  * SimHash            — 48-bit similarity hash via a vectorized pandas UDF
+  * SimHash            — 48-bit similarity hash, pure Catalyst (48 sign-sum
+                         aggregates over md5-derived token-hash bits)
 
 Scale notes (the 100 TB story):
   - exact dedup is a single hash aggregate with map-side combine;
@@ -20,11 +21,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql import types as T
-from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql import DataFrame, functions as F
 
 from cdc_engine.textops import tokens_expr
 
@@ -87,15 +84,28 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_milli: int = 300) -> DataFram
 
 def minhash_signatures(docs: DataFrame, k: int = 8) -> DataFrame:
     """k MinHash values per doc: sig_i = min over tokens of
-    md5_48(concat(i, ':', token)). Returns (doc_id, i, minhash)."""
+    md5_48(concat(i, ':', token)). Returns (doc_id, i, minhash).
+
+    Scale shape: ONE groupBy(doc_id) computing all k minima as separate
+    aggregate columns (map-side combine, 1x the token relation through the
+    shuffle), then an in-row explode to the (doc_id, i, minhash) layout.
+    The naive form — crossJoin(range(k)) then groupBy(doc_id, i) — pushes
+    k-times the token relation through the shuffle for identical output."""
     tok = doc_tokens(docs).select("doc_id", "w")
-    hashes = tok.crossJoin(F.broadcast(
-        tok.sparkSession.range(k).select(F.col("id").cast("int").alias("i"))
-    ))
-    h = _md5_48(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w")))
+    mins = [
+        F.min(_md5_48(F.concat(F.lit(f"{i}:"), F.col("w")))).alias(f"_m{i}")
+        for i in range(k)
+    ]
+    agg = tok.groupBy("doc_id").agg(*mins)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("i"), F.col(f"_m{i}").alias("minhash")
+        )
+        for i in range(k)
+    ])
     return (
-        hashes.groupBy("doc_id", "i")
-        .agg(F.min(h).alias("minhash"))
+        agg.select("doc_id", F.explode(pairs).alias("_p"))
+        .select("doc_id", "_p.i", "_p.minhash")
         .orderBy("doc_id", "i")
     )
 
@@ -135,31 +145,42 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, band_rows: int = 2) -> Data
     )
 
 
-@pandas_udf(T.LongType())
-def simhash48(text: pd.Series) -> pd.Series:
-    """48-bit SimHash over word tokens (vectorized batch; md5-derived token
-    hashes so results are platform-stable)."""
-    import hashlib
-    import re
-
-    tok_re = re.compile(r"[^a-z0-9]+")
-
-    def one(t: str | None) -> int | None:
-        if t is None:
-            return None
-        acc = np.zeros(48, dtype=np.int64)
-        for w in set(filter(None, tok_re.split(t.lower()))):
-            h = int(hashlib.md5(w.encode()).hexdigest()[:12], 16)
-            bits = (h >> np.arange(48)) & 1
-            acc += np.where(bits == 1, 1, -1)
-        out = 0
-        for i in range(48):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
-
-    return text.map(one)
+SIMHASH_BITS = 48
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", simhash48(F.col("text")).alias("simhash")).orderBy("doc_id")
+    """48-bit SimHash per doc, pure Catalyst (no Python in the hot path):
+    explode distinct tokens, take the 48-bit md5 token hash, and for each
+    bit position aggregate a +1/-1 sign sum per doc; bit i of the
+    fingerprint is set iff sum_i > 0. One hash-aggregate shuffle with
+    map-side combine over 48 long counters — and, being expression-only,
+    the DuckDB oracle reproduces it bit-for-bit (the previous pandas-UDF
+    form was a per-row Python loop AND un-oracle-able).
+
+    Docs whose text is NULL get NULL; docs with no tokens get 0 (the empty
+    sign vector), matching the reference pandas implementation in tests."""
+    tok = doc_tokens(docs).select("doc_id", "w").withColumn("_h", _md5_48(F.col("w")))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    fp = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"_s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    sim = agg.select("doc_id", fp.alias("_fp"))
+    return (
+        docs.select("doc_id", "text")
+        .join(sim, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("text").isNull(), F.lit(None).cast("long"))
+            .otherwise(F.coalesce(F.col("_fp"), F.lit(0).cast("long")))
+            .alias("simhash"),
+        )
+        .orderBy("doc_id")
+    )

@@ -195,18 +195,17 @@ class SnapLake:
         # old files (schema evolution without rewrite)
         df = spark.read.schema(schema).parquet(*paths)
         if any(f.get("kind", "base") == "delta" for f in files):
-            # merge-on-read collapse: one LWW winner per url over base+delta
-            # (hash-agg max_by — map-side combine, single shuffle on url)
-            others = [c for c in df.columns if c != "url"]
-            df = (
-                df.groupBy("url")
-                .agg(
-                    F.max_by(
-                        F.struct(*others), F.struct(F.col("warc_ts"), F.col(INTERNAL_SEQ))
-                    ).alias("_w")
-                )
-                .select("url", "_w.*")
-                .select(*df.columns)
+            # merge-on-read collapse: one LWW winner per url over base+delta.
+            # Window row_number, NOT max_by: the payload is wide (html bytes)
+            # and max_by-over-wide-struct anti-scales with cores (agg buffers
+            # copy the payload per group; measured 4.8s@8c -> 11.8s@32c on 6M
+            # rows, vs 3.5s -> 2.2s for the sort-based window, which streams
+            # the payload through the sorter). Same strategy the ingest-side
+            # dedup defaults to (dedup.lww_dedup).
+            from cdc_engine.dedup import lww_dedup
+
+            df = lww_dedup(
+                df, key="url", ts="warc_ts", seq=INTERNAL_SEQ, strategy="window"
             )
         return df
 

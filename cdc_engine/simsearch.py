@@ -19,7 +19,7 @@ codegen and DuckDB and break value-hash comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # quantized integer dot product of two array<float> columns, JVM-side
 _DOT_Q = (
@@ -57,13 +57,27 @@ def ivf_assign(emb: DataFrame, n_cells: int = 16) -> DataFrame:
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cell", dot_q("embedding", "ce").alias("cell_dot_q")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_dot_q"), F.asc("cell"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-        .orderBy("vec_id")
+    # argmax as a hash aggregate, not a window: the payload here is narrow
+    # (two ints), so max_by gets map-side partial combine and skips the
+    # window's per-partition sort entirely — each vec_id's C candidate rows
+    # collapse before the shuffle. (Contrast dedup.lww_dedup, where the WIDE
+    # payload makes the sort-based window the scaling strategy.)
+    # Ordering: max (cell_dot_q, -cell) == highest dot, ties to lowest cell.
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "cell_dot_q"),
+                F.struct(F.col("cell_dot_q"), (-F.col("cell")).alias("_nc")),
+            ).alias("_b")
+        )
+        .select(
+            "vec_id",
+            F.col("_b.cell").alias("cell"),
+            F.col("_b.cell_dot_q").alias("cell_dot_q"),
+        )
     )
+    return best.orderBy("vec_id")
 
 
 def ivf_query_topk(

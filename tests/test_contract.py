@@ -38,8 +38,6 @@ def duck():
 def _norm_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
-    if isinstance(v, float):
-        return round(v, 9)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None)
     if isinstance(v, datetime):
@@ -52,13 +50,22 @@ def _norm_cell(v):
     return v
 
 
+def _cell_key(v):
+    """DTYPE-SENSITIVE cell identity, mirroring the driver's value-hash:
+    int 3 must NOT equal float 3.0 (round-1 lesson — DuckDB HUGEINT sums
+    surface as float64 and the driver hash catches it; a lenient mirror
+    here let 10 driver failures through)."""
+    v = _norm_cell(v)
+    return (type(v).__name__, repr(v))
+
+
 def _canon(pdf: pd.DataFrame) -> list[tuple]:
     cols = sorted(pdf.columns)
     rows = [
-        tuple(_norm_cell(v) for v in row)
+        tuple(_cell_key(v) for v in row)
         for row in pdf[cols].itertuples(index=False, name=None)
     ]
-    return sorted(rows, key=repr)
+    return sorted(rows)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

@@ -37,5 +37,7 @@ def test_hash_url_defuses_domain_skew(spark, wal_basic):
 def test_salted_dedup_equals_unsalted(spark, wal_basic):
     df = _wal_df(spark, wal_basic)
     a = lww_dedup(df, salt_buckets=0)
-    b = lww_dedup(df, salt_buckets=8)
+    # salting is a maxby-strategy feature (two-level hash agg); the default
+    # strategy is now "window", so pin maxby to actually exercise the salt
+    b = lww_dedup(df, strategy="maxby", salt_buckets=8)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
