@@ -4,6 +4,16 @@ Pure function of (batch contents, epoch_id, lake state): normalize ->
 validate/quarantine -> LWW dedup -> salted repartition -> MERGE (which
 atomically commits data + ledger + lineage). Both the streaming path
 (foreachBatch) and the deterministic replay path call exactly this.
+
+Ledger identity: the ledger keys on epoch_id, but replay numbers epochs by
+seq range while streaming uses Spark batch ids — and both share one lake
+ledger. A bare epoch-id match could therefore silently skip a batch whose
+CONTENTS were never applied (resume with a fresh checkpoint, changed
+--events-per-epoch, replay over a streamed lake). Before honoring a ledger
+hit, apply_epoch verifies the committed entry's recorded [first_seq,
+last_seq] against the incoming batch and raises ``LedgerSeqMismatch``
+loudly on disagreement — the Delta idempotent-writer (txnAppId/txnVersion)
+analog, expressed as range verification instead of writer namespacing.
 """
 
 from __future__ import annotations
@@ -20,6 +30,43 @@ from cdc_engine.normalize import apply_mapping
 from cdc_engine.salt import bucket_expr, salted_repartition
 
 
+class LedgerSeqMismatch(RuntimeError):
+    """An epoch_id is already in the ledger but its recorded seq range does
+    not match the batch being applied — the ledger entry belongs to a
+    different batching of the WAL. Skipping would lose data; failing loudly
+    forces the operator to replay into a fresh lake or fix the batching
+    parameters (events_per_epoch / checkpoint)."""
+
+
+def _verify_ledger_hit(
+    entry: dict,
+    epoch_id: int,
+    batch_range: tuple[int, int] | None,
+    expected_window: tuple[int, int] | None,
+) -> None:
+    e_lo, e_hi = entry.get("first_seq"), entry.get("last_seq")
+    if expected_window is not None:
+        lo, hi = expected_window
+        if e_lo is None or e_hi is None or e_lo < lo or e_hi >= hi:
+            raise LedgerSeqMismatch(
+                f"epoch {epoch_id} is committed with seq range [{e_lo}, {e_hi}] "
+                f"but this replay cuts epoch {epoch_id} as seq window [{lo}, {hi}) "
+                f"— the ledger entry came from a different batching; refusing to "
+                f"skip (data loss). Replay into a fresh lake or restore the "
+                f"original events_per_epoch."
+            )
+        return
+    if batch_range is not None:
+        lo, hi = batch_range
+        if e_lo is None or e_hi is None or lo < e_lo or hi > e_hi:
+            raise LedgerSeqMismatch(
+                f"epoch {epoch_id} is committed with seq range [{e_lo}, {e_hi}] "
+                f"but the re-delivered batch spans [{lo}, {hi}] — contents were "
+                f"never applied under this epoch id (stale checkpoint / changed "
+                f"trigger batching); refusing to skip."
+            )
+
+
 def apply_epoch(
     spark: SparkSession,
     lake: SnapLake,
@@ -27,56 +74,87 @@ def apply_epoch(
     epoch_id: int,
     cfg: CdcConfig | None = None,
     quarantine_dir: str | None = None,
+    expected_seq_range: tuple[int, int] | None = None,
 ) -> dict[str, Any] | None:
     """Apply one epoch; returns commit stats, or None if the epoch was
-    already committed / the batch is empty (both are safe no-ops)."""
+    already committed / the batch is empty (both are safe no-ops).
+
+    ``expected_seq_range``: the [lo, hi) seq window this epoch id is
+    DEFINED to own (the replay path knows it without any Spark work);
+    ledger hits are verified against it. Streaming callers leave it None
+    and a ledger hit is verified against the batch's actual min/max seq
+    (one narrow aggregate on the rare re-delivery path only).
+    """
     cfg = cfg or CdcConfig()
-    if str(epoch_id) in lake.manifest()["ledger"]:
-        return None  # idempotence fast-path before any Spark work (J4)
+    if quarantine_dir is None:
+        quarantine_dir = cfg.quarantine_dir
+    entry = lake.manifest()["ledger"].get(str(epoch_id))
+    if entry is not None and expected_seq_range is not None:
+        # J4 idempotence fast-path: no Spark work — the expected window is
+        # known a priori, so the ledger entry can be verified immediately
+        _verify_ledger_hit(entry, epoch_id, None, expected_seq_range)
+        return None
 
     df = apply_mapping(batch_df, cfg.column_mapping)
 
     # P4: null-safe key guard — LWW is undefined for null url/warc_ts/seq
     valid = F.col("url").isNotNull() & F.col("warc_ts").isNotNull() & F.col("seq").isNotNull()
-    if cfg.quarantine_invalid:
-        bad = df.where(~valid)
-        if quarantine_dir is not None:
-            bad.write.mode("append").parquet(os.path.join(quarantine_dir, f"epoch={epoch_id}"))
-        df = df.where(valid)
 
     # ONE pre-dedup aggregate job computes everything the commit needs from
     # the raw batch: per-source-partition input stats (ledger/lineage must
-    # record the FULL consumed offset range, not just LWW winners — S6/S7),
-    # emptiness, and the set of touched lake buckets (saves merge a separate
-    # distinct-buckets job). Deliberately NARROW: seq, source_partition and
-    # the url hash only — lineage byte accounting comes from the cached
-    # deduped winners inside merge, so the wide html column is never scanned
-    # twice (a full extra pass over ~80% of the batch bytes otherwise).
+    # record the FULL consumed offset range — including quarantined rows —
+    # S6/S7), emptiness, quarantine counts, and the set of touched lake
+    # buckets (saves merge a separate distinct-buckets job). Deliberately
+    # NARROW: seq, source_partition, validity and the url hash only —
+    # lineage byte accounting comes from the cached deduped winners inside
+    # merge, so the wide html column is never scanned twice.
     n_buckets = lake.manifest()["n_buckets"]
     sp = F.col("source_partition").cast("int") if "source_partition" in df.columns else F.lit(None).cast("int")
     stats_rows = (
         df.groupBy(sp.alias("pid"))
         .agg(
-            F.count("*").alias("rows_in"),
+            F.count("*").alias("rows_seen"),
+            F.sum(F.when(valid, 0).otherwise(1)).alias("rows_quarantined"),
             F.min("seq").alias("first_seq"),
             F.max("seq").alias("last_seq"),
-            F.collect_set(bucket_expr("url", n_buckets)).alias("buckets"),
+            # bucket only for valid rows: xxhash64(NULL) is the seed (42),
+            # so a null url would otherwise smuggle in a phantom bucket
+            F.collect_set(F.when(valid, bucket_expr("url", n_buckets))).alias("buckets"),
         )
         .collect()
     )
     if not stats_rows:
         return None
+    seqs_lo = [int(r["first_seq"]) for r in stats_rows if r["first_seq"] is not None]
+    seqs_hi = [int(r["last_seq"]) for r in stats_rows if r["last_seq"] is not None]
+    if entry is not None:
+        # streaming re-delivery: verify contents before honoring the skip
+        if seqs_lo and seqs_hi:
+            _verify_ledger_hit(entry, epoch_id, (min(seqs_lo), max(seqs_hi)), None)
+        return None
     input_stats = [
         {
             "partition_id": None if r["pid"] is None else int(r["pid"]),
-            "rows_in": int(r["rows_in"]),
-            "first_seq": int(r["first_seq"]),
-            "last_seq": int(r["last_seq"]),
+            "rows_in": int(r["rows_seen"]) - int(r["rows_quarantined"]),
+            "rows_quarantined": int(r["rows_quarantined"]),
+            "first_seq": None if r["first_seq"] is None else int(r["first_seq"]),
+            "last_seq": None if r["last_seq"] is None else int(r["last_seq"]),
             "bytes": None,  # filled by merge from the cached winners
         }
         for r in stats_rows
     ]
     touched = sorted({int(b) for r in stats_rows for b in r["buckets"]})
+
+    if cfg.quarantine_invalid:
+        if quarantine_dir is not None and any(
+            s["rows_quarantined"] for s in input_stats
+        ):
+            df.where(~valid).write.mode("append").parquet(
+                os.path.join(quarantine_dir, f"epoch={epoch_id}")
+            )
+        df = df.where(valid)
+    if not touched:
+        return None  # every row was quarantined; nothing to commit
 
     # W1: one row per url — MUST precede merge (multiple source matches per
     # target row would make the merge nondeterministic; SURVEY.md §4 inv. 1)

@@ -41,5 +41,9 @@ class CdcConfig:
     # quarantine rows with null url/warc_ts instead of failing the epoch
     quarantine_invalid: bool = True
 
+    # where quarantined rows are persisted (None = count them in lineage but
+    # drop the payload; main.py defaults this to <lake>/quarantine)
+    quarantine_dir: str | None = None
+
     # rewrite a bucket when it accumulates more than this many data files
     compact_after_files: int = 8

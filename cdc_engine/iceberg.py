@@ -16,10 +16,22 @@ Semantics map 1:1 onto SnapLake's:
   SnapLake bucketed files      -> PARTITIONED BY (bucket(N, url))
   SnapLake COW / MoR modes     -> write.merge.mode copy-on-write / merge-on-read
   manifest summary commit_id   -> Iceberg snapshot summary properties
-  ledger-in-manifest           -> engine.ledger.* snapshot properties +
-                                  a companion ledger table
+  ledger-in-manifest           -> wap.id in the snapshot summary (atomic
+                                  with the MERGE — see below)
   compact()                    -> CALL system.rewrite_data_files
   time travel by version       -> VERSION AS OF / snapshot-id
+
+Exactly-once ledger atomicity (the WAP audit-publish pattern): the table is
+created with ``write.wap.enabled=true`` and each MERGE runs with
+``spark.wap.id = <commit id encoding the epoch>``. Iceberg then records the
+id in the new snapshot's summary IN THE SAME COMMIT as the data (no second
+ALTER TABLE to crash between), stages the snapshot, and
+``cherrypick_snapshot`` publishes it; Iceberg itself refuses to publish the
+same wap.id twice (duplicate-commit guard). ``committed_epochs`` reads the
+ids back from the PUBLISHED ancestry (snapshots joined to history), so a
+crash between MERGE and publish leaves a staged orphan that is simply
+re-merged — and the LWW merge condition makes even that replay
+state-identical.
 """
 
 from __future__ import annotations
@@ -70,22 +82,35 @@ class IcebergLake:
               'write.update.mode' = '{merge_mode}',
               'write.delete.mode' = '{merge_mode}',
               'write.spark.accept-any-schema' = 'true',
+              'write.wap.enabled' = 'true',
               'write.distribution-mode' = 'hash')
             """
         )
         return IcebergLake(spark, table, mode)
 
     # ------------------------------------------------------------- ledger
+    @staticmethod
+    def _wap_id(epoch_id: int, commit_id: str) -> str:
+        return f"epoch-{epoch_id}-{commit_id}"
+
     def committed_epochs(self) -> dict[int, str]:
-        """epoch_id -> commit_id from snapshot summary properties."""
+        """epoch_id -> commit_id, read from the wap.id stamped into each
+        PUBLISHED snapshot's summary (snapshots ∩ current ancestry — a
+        staged-but-unpublished snapshot must not count as committed)."""
         rows = self.spark.sql(
-            f"SELECT summary FROM {self.table}.snapshots"
+            f"""
+            SELECT s.summary FROM {self.table}.snapshots s
+            JOIN {self.table}.history h ON s.snapshot_id = h.snapshot_id
+            WHERE h.is_current_ancestor
+            """
         ).collect()
         out: dict[int, str] = {}
         for r in rows:
             s = r["summary"] or {}
-            if "engine.epoch_id" in s:
-                out[int(s["engine.epoch_id"])] = s.get("engine.commit_id", "")
+            wap = s.get("wap.id") or s.get("published-wap-id")
+            if wap and wap.startswith("epoch-"):
+                _, eid, cid = wap.split("-", 2)
+                out[int(eid)] = cid
         return out
 
     # -------------------------------------------------------------- merge
@@ -119,38 +144,42 @@ class IcebergLake:
         )
         ins_cols = ", ".join(cols + ["_seq", "_deleted"])
         ins_vals = ", ".join([f"s.{c}" for c in cols] + ["s.seq", "(s.op = 'delete')"])
-        # the snapshot summary IS the atomic ledger entry
+        # WAP audit-publish: the wap.id (encoding the epoch) lands in the
+        # snapshot summary ATOMICALLY with the MERGE — this IS the ledger
+        # entry; no post-hoc ALTER TABLE to crash between.
+        wap = self._wap_id(epoch_id, commit_id)
+        self.spark.conf.set("spark.wap.id", wap)
         try:
-            from pyspark.sql.utils import try_remote_functions  # noqa: F401
-        except Exception:
-            pass
-        self.spark.conf.set(
-            "spark.wap.id", commit_id
-        )  # audit id; harmless when WAP disabled
-        self.spark.sql(
+            self.spark.sql(
+                f"""
+                MERGE INTO {self.table} t
+                USING _cdc_batch s
+                ON t.url = s.url
+                WHEN MATCHED AND (s.warc_ts > t.warc_ts
+                                  OR (s.warc_ts = t.warc_ts AND s.seq > t._seq))
+                  THEN UPDATE SET {sets}
+                WHEN NOT MATCHED
+                  THEN INSERT ({ins_cols}) VALUES ({ins_vals})
+                """
+            )
+        finally:
+            self.spark.conf.unset("spark.wap.id")
+        # publish the staged snapshot; Iceberg's duplicate-wap.id guard makes
+        # a concurrent/retried publish of the same epoch fail loudly instead
+        # of double-committing
+        cat = self.table.split(".")[0]
+        staged = self.spark.sql(
             f"""
-            MERGE INTO {self.table} t
-            USING _cdc_batch s
-            ON t.url = s.url
-            WHEN MATCHED AND (s.warc_ts > t.warc_ts
-                              OR (s.warc_ts = t.warc_ts AND s.seq > t._seq))
-              THEN UPDATE SET {sets}
-            WHEN NOT MATCHED
-              THEN INSERT ({ins_cols}) VALUES ({ins_vals})
+            SELECT s.snapshot_id FROM {self.table}.snapshots s
+            LEFT ANTI JOIN {self.table}.history h ON s.snapshot_id = h.snapshot_id
+            WHERE s.summary['wap.id'] = '{wap}'
             """
-        )
-        # stamp epoch/commit into the snapshot summary (Iceberg Java API via
-        # CommitMetadata is driver-side; SQL route: set via table property on
-        # the same transaction is not exposed in pure SQL, so record a
-        # companion ledger row — the MERGE LWW condition makes replays
-        # harmless regardless)
-        self.spark.sql(
-            f"""
-            ALTER TABLE {self.table} SET TBLPROPERTIES
-              ('engine.last_epoch' = '{epoch_id}',
-               'engine.last_commit' = '{commit_id}')
-            """
-        )
+        ).collect()
+        for r in staged:
+            self.spark.sql(
+                f"CALL {cat}.system.cherrypick_snapshot("
+                f"table => '{self.table}', snapshot_id => {r['snapshot_id']})"
+            )
         return True
 
     # --------------------------------------------------------------- scan

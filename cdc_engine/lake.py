@@ -83,6 +83,7 @@ _LINEAGE_SCHEMA = T.StructType(
         T.StructField("rows_upserted", T.LongType(), True),
         T.StructField("rows_deleted", T.LongType(), True),
         T.StructField("rows_late_ignored", T.LongType(), True),
+        T.StructField("rows_quarantined", T.LongType(), True),
         T.StructField("bytes", T.LongType(), True),
         T.StructField("apply_latency_ms", T.DoubleType(), True),
     ]
@@ -155,16 +156,28 @@ class SnapLake:
             return json.load(f)
 
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
-        """Immutable manifest file + atomic HEAD swap (S5)."""
+        """Immutable manifest file + atomic HEAD swap (S5).
+
+        Power-loss ordering: the manifest JSON is fsynced BEFORE the HEAD
+        swap (otherwise a renamed HEAD could point at a truncated manifest
+        after power loss), and the directory fd is fsynced AFTER the rename
+        so the HEAD entry itself is durable."""
         mp = self._manifest_path(manifest["version"])
         with open(mp, "x") as f:  # 'x': a version collision is a writer race
             json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         tmp = os.path.join(self.meta_dir, f".HEAD.tmp.{os.getpid()}")
         with open(tmp, "w") as f:
             f.write(str(manifest["version"]))
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(self.meta_dir, "HEAD"))
+        dfd = os.open(self.meta_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.manifest(version)["schema"])
@@ -474,6 +487,7 @@ class SnapLake:
                     pid: {
                         "partition_id": pid,
                         "rows_in": int(r["rows_applied"]),
+                        "rows_quarantined": 0,
                         "first_seq": int(r["first_seq"]),
                         "last_seq": int(r["last_seq"]),
                         "bytes": None,
@@ -499,6 +513,7 @@ class SnapLake:
                             else None if r["rows_late_ignored"] is None
                             else int(r["rows_late_ignored"])
                         ),
+                        "rows_quarantined": int(ins.get("rows_quarantined", 0)),
                         # bytes applied (winner payload), measured off the
                         # cached deduped batch — never a second wide scan
                         "bytes": (
@@ -651,7 +666,9 @@ class SnapLake:
         while v is not None:
             man = self.manifest(v)
             for r in man.get("lineage", []):
-                rows.append(tuple(r[f.name] for f in _LINEAGE_SCHEMA.fields))
+                # .get: manifests written before a lineage column was added
+                # simply surface NULL for it
+                rows.append(tuple(r.get(f.name) for f in _LINEAGE_SCHEMA.fields))
             v = man["parent"]
         return spark.createDataFrame(rows, _LINEAGE_SCHEMA)
 

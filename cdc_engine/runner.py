@@ -51,14 +51,33 @@ def replay(
     e = cfg.events_per_epoch
     n_epochs = (max_seq + e - 1) // e
 
-    committed = set(lake.committed_epochs().keys())
+    committed = lake.committed_epochs()
     results = []
     done = 0
     for k in range(n_epochs):
         if k in committed:
+            # same guard as apply_epoch's, applied to the pre-scan skip:
+            # a committed epoch id must hold exactly this replay's window
+            ent = committed[k]
+            e_lo, e_hi = ent.get("first_seq"), ent.get("last_seq")
+            if e_lo is not None and (e_lo < k * e or e_hi >= (k + 1) * e):
+                from cdc_engine.apply import LedgerSeqMismatch
+
+                raise LedgerSeqMismatch(
+                    f"epoch {k} is committed with seq range [{e_lo}, {e_hi}] "
+                    f"but this replay cuts epochs every {e} events (window "
+                    f"[{k * e}, {(k + 1) * e})) — refusing to skip; replay "
+                    f"into a fresh lake or restore the original "
+                    f"events_per_epoch."
+                )
             continue
         batch = read_seq_range(spark, wal_dir, k * e, (k + 1) * e)
-        r = apply_epoch(spark, lake, batch, epoch_id=k, cfg=cfg)
+        # expected_seq_range: epoch k OWNS this window by definition, so a
+        # ledger hit under a different batching is detected without Spark work
+        r = apply_epoch(
+            spark, lake, batch, epoch_id=k, cfg=cfg,
+            expected_seq_range=(k * e, (k + 1) * e),
+        )
         if r is not None:
             results.append(r)
             # MoR hygiene: fold delta files back into base once a bucket

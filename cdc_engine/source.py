@@ -102,3 +102,83 @@ def open_stream(
         .option("pathGlobFilter", "segment-*.parquet")
         .parquet(wal_dir)
     )
+
+
+# --- Kafka source (the real-cluster S1 backend) -----------------------------
+# The sandbox has no Kafka jars (SURVEY.md §7.1), so ``open_kafka_stream``
+# cannot run here — but the value-parsing path is pure Catalyst and fully
+# testable on a static DataFrame shaped like Kafka's wire schema
+# (tests/test_kafka_source.py). On a cluster: add
+# --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>.
+
+# JSON envelope for one change event on the wire. ``html`` travels base64
+# (JSON has no binary type); ``warc_ts`` is an ISO-8601 / Spark-parseable
+# timestamp string.
+KAFKA_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html_b64", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source_partition", T.LongType()),
+        T.StructField("fetch_status", T.IntegerType()),
+    ]
+)
+
+
+def parse_kafka_records(records: DataFrame) -> DataFrame:
+    """Kafka wire rows (key/value/topic/partition/offset/timestamp) ->
+    WAL_SCHEMA_LATEST rows, pure Catalyst:
+
+      * value bytes -> from_json under KAFKA_VALUE_SCHEMA (older producers
+        that omit v2 fields simply yield NULLs — the same widening the
+        parquet WAL gets from the explicit read schema);
+      * html restored from base64;
+      * seq falls back to the Kafka offset, source_partition to the Kafka
+        topic-partition, when the payload omits them;
+      * malformed JSON -> NULL struct -> NULL url, which the P4 guard in
+        apply_epoch quarantines (never a crashed epoch).
+    """
+    j = F.from_json(F.col("value").cast("string"), KAFKA_VALUE_SCHEMA).alias("j")
+    p = records.select(
+        j,
+        F.col("partition").cast("long").alias("_kp"),
+        F.col("offset").cast("long").alias("_ko"),
+    )
+    return p.select(
+        F.coalesce(F.col("j.seq"), F.col("_ko")).alias("seq"),
+        F.col("j.op").alias("op"),
+        F.col("j.url").alias("url"),
+        F.col("j.warc_ts").alias("warc_ts"),
+        F.unbase64(F.col("j.html_b64")).alias("html"),
+        F.col("j.text").alias("text"),
+        F.col("j.lang").alias("lang"),
+        F.coalesce(F.col("j.source_partition"), F.col("_kp")).alias("source_partition"),
+        F.col("j.fetch_status").alias("fetch_status"),
+    )
+
+
+def open_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming Kafka tail parsed to WAL rows (cluster-only: requires the
+    spark-sql-kafka package). Offsets are tracked by the streaming
+    checkpoint; the ledger + LWW merge provide the exactly-once guarantee
+    exactly as with the file WAL."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "true")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return parse_kafka_records(reader.load())

@@ -36,7 +36,16 @@ from cdc_engine.session import build_session
 
 def _lake(args) -> SnapLake:
     if SnapLake.exists(args.lake):
-        return SnapLake(args.lake)
+        lake = SnapLake(args.lake)
+        stored = lake.manifest().get("mode", "cow")
+        if stored != args.mode:
+            print(
+                f"warning: lake {args.lake} was created with mode={stored}; "
+                f"--mode {args.mode} is ignored (table mode is a create-time "
+                f"property)",
+                file=sys.stderr,
+            )
+        return lake
     return SnapLake.create(
         args.lake, PAGES_SCHEMA_V1, n_buckets=args.n_buckets, mode=args.mode
     )
@@ -53,6 +62,12 @@ def main(argv: list[str] | None = None) -> None:
         p.add_argument("--events-per-epoch", type=int, default=100_000)
         p.add_argument("--compact-after-files", type=int, default=8)
         p.add_argument("--master", default=None)
+        p.add_argument(
+            "--quarantine-dir",
+            default=None,
+            help="where rows with null url/warc_ts/seq are persisted "
+            "(default: <lake>/quarantine; they are always counted in lineage)",
+        )
 
     p = sub.add_parser("ingest")
     common(p)
@@ -78,6 +93,11 @@ def main(argv: list[str] | None = None) -> None:
         events_per_epoch=args.events_per_epoch,
         n_buckets=args.n_buckets,
         compact_after_files=args.compact_after_files,
+        quarantine_dir=(
+            args.quarantine_dir
+            if args.quarantine_dir is not None
+            else os.path.join(args.lake, "quarantine")
+        ),
     )
 
     if args.cmd == "ingest":
