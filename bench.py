@@ -93,6 +93,8 @@ def main() -> None:
             "simsearch_brute_topk",
             "ann_ivf_assign",
             "quality_scores",
+            "simhash_fingerprints",
+            "jaccard_on_lsh",
         ]
         for name in headline:
             t0 = time.monotonic()

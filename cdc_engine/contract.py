@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cdc_engine.dedup import lww_dedup
 from cdc_engine.dedup_text import (
+    exact_dedup_canonical,
     exact_dedup_stats,
+    jaccard_on_lsh,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -354,6 +356,14 @@ def q_dedup_exact_stats(spark, sf):
     return exact_dedup_stats(t(spark, sf, "documents"))
 
 
+def q_dedup_canonical_map(spark, sf):
+    return exact_dedup_canonical(t(spark, sf, "documents"))
+
+
+def q_jaccard_on_lsh(spark, sf):
+    return jaccard_on_lsh(t(spark, sf, "documents"), k=8, band_rows=2, threshold_milli=300)
+
+
 def q_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(t(spark, sf, "documents"), threshold_milli=300)
 
@@ -521,6 +531,20 @@ _DOT_SQL = (
 )
 
 _STOP_EN = STOPWORDS["en"]
+
+# MinHash-LSH CTE chain shared by the lsh_candidates and jaccard_on_lsh
+# oracles (spliced in after the dict literal — f-string nesting would
+# otherwise make the entries unreadable)
+_LSH_CTES = f"""{_TOK_CTE},
+        sig AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+                       MIN(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || w), 1, 12))::BIGINT) AS minhash
+                FROM tok, range(0, 8) t(i) GROUP BY doc_id, i),
+        banded AS (SELECT doc_id, CAST(FLOOR(i / 2.0) AS INTEGER) AS band,
+                          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+                   FROM sig GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                 FROM banded x JOIN banded y
+                   ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)"""
 
 # 48-bit SimHash in SQL: one sign-sum per bit, then recompose the fingerprint.
 # (DuckDB SUM returns HUGEINT but the sums are only compared, never output.)
@@ -735,17 +759,28 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY doc_id, i ORDER BY doc_id, i
     """,
     "lsh_candidates": f"""
-        WITH {_TOK_CTE},
-        sig AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
-                       MIN(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || w), 1, 12))::BIGINT) AS minhash
-                FROM tok, range(0, 8) t(i) GROUP BY doc_id, i),
-        banded AS (SELECT doc_id, CAST(FLOOR(i / 2.0) AS INTEGER) AS band,
-                          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
-                   FROM sig GROUP BY 1, 2)
-        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-        FROM banded x JOIN banded y
-          ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        WITH {{LSH}}
+        SELECT da, db FROM cand ORDER BY da, db
+    """,
+    "jaccard_on_lsh": f"""
+        WITH {{LSH}},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        ov AS (SELECT c.da, c.db, COUNT(*) AS inter
+               FROM cand c
+                 JOIN tok a ON c.da = a.doc_id
+                 JOIN tok b ON c.db = b.doc_id AND a.w = b.w
+               GROUP BY 1, 2)
+        SELECT da, db, inter, sa.n AS na, sb.n AS nb,
+               CAST(ROUND(1000.0 * inter / (sa.n + sb.n - inter)) AS BIGINT) AS jacc_milli
+        FROM ov JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+        WHERE CAST(ROUND(1000.0 * inter / (sa.n + sb.n - inter)) AS BIGINT) >= 300
         ORDER BY da, db
+    """,
+    "dedup_canonical_map": """
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        FROM documents ORDER BY doc_id
     """,
     "simsearch_brute_topk": f"""
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -843,6 +878,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+for _k in ("lsh_candidates", "jaccard_on_lsh"):
+    ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{LSH}", _LSH_CTES)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lww_dedup_latest": q_lww_dedup_latest,
     "cdc_final_state": q_cdc_final_state,
@@ -868,9 +906,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_url_extract": q_scalar_url_extract,
     "window_rank_sources": q_window_rank_sources,
     "dedup_exact_stats": q_dedup_exact_stats,
+    "dedup_canonical_map": q_dedup_canonical_map,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
+    "jaccard_on_lsh": q_jaccard_on_lsh,
     "simsearch_brute_topk": q_simsearch_brute_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_query_topk": q_ann_ivf_query_topk,

@@ -38,6 +38,21 @@ def exact_dedup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def exact_dedup_canonical(docs: DataFrame) -> DataFrame:
+    """Survivorship map for exact dedup: every doc -> the canonical (lowest
+    doc_id) member of its identical-content group. (doc_id, canonical_id,
+    is_dup). One window min over the md5 hash — a single shuffle on the
+    content hash, the 100 TB exact-dedup shape."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    ).orderBy("doc_id")
+
+
 def doc_tokens(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, lang, token) — the shared shingle relation."""
     return (
@@ -48,7 +63,12 @@ def doc_tokens(docs: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold_milli: int = 300) -> DataFrame:
     """Near-duplicate pairs by token-set Jaccard >= threshold (milli-units),
-    blocked by lang. Returns (da, db, inter, na, nb, jacc_milli)."""
+    blocked by lang. Returns (da, db, inter, na, nb, jacc_milli).
+
+    Exhaustive-within-block form: the token self-join is quadratic in
+    posting-list length inside a block, so this is for SMALL blocks /
+    audits. The web-scale path is jaccard_on_lsh below (identical scoring,
+    LSH-bucket blocking)."""
     tok = doc_tokens(docs)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
@@ -143,6 +163,48 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, band_rows: int = 2) -> Data
         .distinct()
         .orderBy("da", "db")
     )
+
+
+def jaccard_on_lsh(
+    docs: DataFrame, k: int = 8, band_rows: int = 2, threshold_milli: int = 300
+) -> DataFrame:
+    """Exact token-set Jaccard computed ONLY over MinHash-LSH candidate
+    pairs — the web-scale form of ngram_jaccard_pairs: the all-pairs token
+    self-join (quadratic in posting-list length inside a block) is replaced
+    by LSH-bucket blocking, so total work is bounded by candidate count x
+    document length rather than block-size^2. Recall is the LSH band
+    recall (pairs sharing no band are never scored — by design).
+    Returns (da, db, inter, na, nb, jacc_milli) above the threshold."""
+    cand = lsh_candidate_pairs(docs, k, band_rows)
+    tok = doc_tokens(docs).select("doc_id", "w")
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(tok.alias("a"), F.col("da") == F.col("a.doc_id"))
+        .join(
+            tok.alias("b"),
+            (F.col("db") == F.col("b.doc_id")) & (F.col("a.w") == F.col("b.w")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .select(
+            "da",
+            "db",
+            "inter",
+            F.col("sa.n").alias("na"),
+            F.col("sb.n").alias("nb"),
+            F.round(
+                F.lit(1000.0) * F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+            )
+            .cast("long")
+            .alias("jacc_milli"),
+        )
+    )
+    return out.where(F.col("jacc_milli") >= threshold_milli).orderBy("da", "db")
 
 
 SIMHASH_BITS = 48
