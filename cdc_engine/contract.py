@@ -35,6 +35,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Vectorized grouped-aggregate UDAF (Arrow series -> scalar; SURVEY.md §2.10
+# listed UDAFs as not-needed, but the surface is cheap to prove): milli-
+# quantized sum with HALF_AWAY rounding to match Spark F.round / DuckDB
+# ROUND exactly, so the oracle is bit-exact.
+def _sum_milli_agg():
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG functionType: the type-hint inference route can't
+    # resolve stringified annotations under `from __future__ import annotations`
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def sum_milli(v):
+        import numpy as np
+
+        x = v.to_numpy(dtype="float64") * 1000.0
+        q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype("int64")
+        return int(q.sum())
+
+    return sum_milli
+
+
 def _milli(col) -> F.Column:
     return F.round(col * 1000).cast("long")
 
@@ -206,6 +226,47 @@ def q_time_bucket_hourly(spark, sf):
     )
 
 
+def q_sliding_window_counts(spark, sf):
+    """Sliding event-time window (2h wide, 1h slide) — each event lands in
+    two overlapping windows. Batch form of the streaming T4 family."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum(_milli(F.col("value"))).alias("value_milli"))
+        .select(F.col("w.start").alias("w_start"), "n", "value_milli")
+        .orderBy("w_start")
+    )
+
+
+def q_session_windows(spark, sf):
+    """Per-user session windows with a 30-minute inactivity gap
+    (gaps-and-islands): session count, span, and event count per user.
+    Batch equivalent of streaming session_window()."""
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("_new", new_sess)
+        .withColumn("sess_id", F.sum("_new").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+        )
+        .orderBy("user_id", "sess_id")
+    )
+
+
 def q_json_props_extract(spark, sf):
     ev = t(spark, sf, "events")
     return (
@@ -213,6 +274,16 @@ def q_json_props_extract(spark, sf):
         .groupBy("k_val")
         .agg(F.count("*").alias("n"))
         .orderBy("k_val")
+    )
+
+
+def q_udaf_value_by_type(spark, sf):
+    """Grouped-agg pandas UDAF (Arrow-vectorized, never per-row Python)."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(_sum_milli_agg()(F.col("value")).alias("value_milli"))
+        .orderBy("event_type")
     )
 
 
@@ -654,8 +725,38 @@ ORACLE_SQL: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "sliding_window_counts": """
+        WITH exploded AS (
+            SELECT date_trunc('hour', ts) AS w_start, value FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w_start, value FROM events)
+        SELECT w_start, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+        FROM exploded GROUP BY 1 ORDER BY 1
+    """,
+    "session_windows": """
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+            FROM o)
+        SELECT user_id, sess_id, COUNT(*) AS n_events,
+               MIN(ts) AS sess_start, MAX(ts) AS sess_end
+        FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id
+    """,
     "json_props_extract": """
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "udaf_value_by_type": """
+        SELECT event_type,
+               CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         FROM events GROUP BY 1 ORDER BY 1
     """,
     "broadcast_dim_join": """
@@ -895,7 +996,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "except_diff": q_except_diff,
     "intersect_users": q_intersect_users,
     "time_bucket_hourly": q_time_bucket_hourly,
+    "sliding_window_counts": q_sliding_window_counts,
+    "session_windows": q_session_windows,
     "json_props_extract": q_json_props_extract,
+    "udaf_value_by_type": q_udaf_value_by_type,
     "broadcast_dim_join": q_broadcast_dim_join,
     "semi_join_customers": q_semi_join_customers,
     "tpch_q1_pricing": q_tpch_q1_pricing,
