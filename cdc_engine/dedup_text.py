@@ -111,7 +111,11 @@ def minhash_signatures(docs: DataFrame, k: int = 8) -> DataFrame:
     shuffle), then an in-row explode to the (doc_id, i, minhash) layout.
     The naive form — crossJoin(range(k)) then groupBy(doc_id, i) — pushes
     k-times the token relation through the shuffle for identical output."""
-    tok = doc_tokens(docs).select("doc_id", "w")
+    # NO distinct: min() over the token multiset equals min() over the set,
+    # so the dedup shuffle doc_tokens pays is pure waste here — explode
+    # feeds the hash aggregate directly and map-side combine collapses each
+    # doc to one k-column row before the only shuffle
+    tok = docs.select("doc_id", F.explode(tokens_expr()).alias("w"))
     mins = [
         F.min(_md5_48(F.concat(F.lit(f"{i}:"), F.col("w")))).alias(f"_m{i}")
         for i in range(k)
