@@ -93,6 +93,18 @@ class IcebergLake:
     def _wap_id(epoch_id: int, commit_id: str) -> str:
         return f"epoch-{epoch_id}-{commit_id}"
 
+    @staticmethod
+    def _parse_wap(wap: str | None) -> tuple[int, str] | None:
+        """Inverse of _wap_id; None for foreign/absent wap ids (sandboxed
+        unit test coverage for the only pure logic in this module)."""
+        if not wap or not wap.startswith("epoch-"):
+            return None
+        try:
+            _, eid, cid = wap.split("-", 2)
+            return int(eid), cid
+        except ValueError:
+            return None
+
     def committed_epochs(self) -> dict[int, str]:
         """epoch_id -> commit_id, read from the wap.id stamped into each
         PUBLISHED snapshot's summary (snapshots ∩ current ancestry — a
@@ -107,10 +119,9 @@ class IcebergLake:
         out: dict[int, str] = {}
         for r in rows:
             s = r["summary"] or {}
-            wap = s.get("wap.id") or s.get("published-wap-id")
-            if wap and wap.startswith("epoch-"):
-                _, eid, cid = wap.split("-", 2)
-                out[int(eid)] = cid
+            parsed = self._parse_wap(s.get("wap.id") or s.get("published-wap-id"))
+            if parsed is not None:
+                out[parsed[0]] = parsed[1]
         return out
 
     # -------------------------------------------------------------- merge
