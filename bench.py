@@ -94,6 +94,7 @@ def main() -> None:
             "ann_ivf_assign",
             "quality_scores",
             "simhash_fingerprints",
+            "ann_srp_buckets",
             # NOT jaccard_on_lsh: the synthetic sf0.1 documents are so
             # self-similar that ~80% of all pairs share an LSH bucket, so
             # exact scoring degenerates to near-all-pairs (~95s) — a data

@@ -26,9 +26,22 @@ from cdc_engine.dedup_text import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
-from cdc_engine.multimodal import blob_meta, featurize_documents
-from cdc_engine.simsearch import brute_topk, ivf_assign, ivf_query_topk
-from cdc_engine.textops import STOPWORDS, lang_id, quality_score, token_count, doc_fingerprint
+from cdc_engine.multimodal import blob_meta, featurize_documents, sample_frames
+from cdc_engine.simsearch import (
+    brute_topk,
+    ivf_assign,
+    ivf_query_topk,
+    srp_bucket_sql,
+    srp_buckets,
+)
+from cdc_engine.textops import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    winnow_fingerprint,
+)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -380,6 +393,27 @@ def q_tpch_q5_region(spark, sf):
     )
 
 
+def q_tpch_q14_promo(spark, sf):
+    """Q14-style promo revenue: conditional aggregation over a part join
+    (exercises the `part` dimension + CASE-inside-SUM)."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-03-01").cast("timestamp"))
+    )
+    part = t(spark, sf, "part")
+    rev = _milli(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))).alias(
+                "promo_milli"
+            ),
+            F.sum(rev).alias("total_milli"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def q_rollup_pricing(spark, sf):
     """Multi-level ROLLUP aggregate (grouping-sets family)."""
     li = t(spark, sf, "lineitem")
@@ -459,6 +493,10 @@ def q_ann_ivf_query_topk(spark, sf):
     return ivf_query_topk(t(spark, sf, "embeddings"), query_vec_id=0, n_cells=16, k=10)
 
 
+def q_ann_srp_buckets(spark, sf):
+    return srp_buckets(t(spark, sf, "embeddings"), n_bits=16, dim=64)
+
+
 def q_lang_id(spark, sf):
     return lang_id(t(spark, sf, "documents")).select("doc_id", "lang", "pred_lang")
 
@@ -475,8 +513,16 @@ def q_doc_fingerprints(spark, sf):
     return doc_fingerprint(t(spark, sf, "documents"))
 
 
+def q_winnow_fingerprints(spark, sf):
+    return winnow_fingerprint(t(spark, sf, "documents"), k=5, w=4)
+
+
 def q_multimodal_blob_meta(spark, sf):
     return blob_meta(t(spark, sf, "documents"))
+
+
+def q_multimodal_frame_sample(spark, sf):
+    return sample_frames(t(spark, sf, "documents")).orderBy("doc_id", "frame_idx")
 
 
 def q_approx_distinct_users(spark, sf):
@@ -816,6 +862,16 @@ ORACLE_SQL: dict[str, str] = {
         WHERE c.c_nationkey = s.s_nationkey
         GROUP BY r_name, n_name ORDER BY r_name, n_name
     """,
+    "tpch_q14_promo": """
+        SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                             THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS promo_milli,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1000) AS BIGINT)) AS BIGINT) AS total_milli,
+               COUNT(*) AS n
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-03-01'
+    """,
     "rollup_pricing": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                CAST(SUM(CAST(ROUND(l_quantity * 1000) AS BIGINT)) AS BIGINT) AS qty_milli
@@ -912,6 +968,7 @@ ORACLE_SQL: dict[str, str] = {
               GROUP BY e.vec_id)
         SELECT vec_id, dot_q FROM d ORDER BY dot_q DESC, vec_id LIMIT 10
     """,
+    "ann_srp_buckets": srp_bucket_sql(n_bits=16, dim=64),
     "lang_id": """
         SELECT doc_id, lang,
                CASE WHEN s_en > 0 AND s_en = GREATEST(0, s_en, s_de, s_fr, s_es) THEN 'en'
@@ -969,6 +1026,46 @@ ORACLE_SQL: dict[str, str] = {
         FROM read_parquet('{REPLAY_ORACLE_PARQUET}')
         ORDER BY url
     """,
+    "winnow_fingerprints": """
+        WITH b AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 5
+                      THEN list_transform(range(1, len(toks) - 5 + 2),
+                           i -> ('0x' || substring(md5(array_to_string(
+                                list_slice(toks, i, i + 4), ' ')), 1, 12))::BIGINT)
+                      ELSE CAST([] AS BIGINT[]) END AS hashes
+          FROM b),
+        m AS (
+          SELECT doc_id, len(hashes) AS n_grams,
+                 CASE WHEN len(hashes) >= 4
+                      THEN list_transform(range(1, len(hashes) - 4 + 2),
+                           i -> list_min(list_slice(hashes, i, i + 3)))
+                      ELSE CAST([] AS BIGINT[]) END AS mins
+          FROM g),
+        f AS (SELECT doc_id, n_grams, list_sort(list_distinct(mins)) AS fps FROM m)
+        SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+               CAST(len(fps) AS INTEGER) AS n_fps,
+               md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS fp_hash
+        FROM f ORDER BY doc_id
+    """,
+    "multimodal_frame_sample": """
+        WITH i AS (
+            SELECT doc_id, text,
+                   unnest(range(0, GREATEST(1, CAST(CEIL(length(text) / 1024.0) AS BIGINT)))) AS fi
+            FROM documents WHERE text IS NOT NULL),
+        f AS (
+            SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+                   substring(text, 1 + CAST(fi AS INTEGER) * 1024, 1024) AS frame
+            FROM i)
+        SELECT doc_id, frame_idx, CAST(length(frame) AS INTEGER) AS frame_chars,
+               md5(frame) AS frame_fp
+        FROM f ORDER BY doc_id, frame_idx
+    """,
     "multimodal_blob_meta": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS blob_bytes,
                md5(text) AS content_fp,
@@ -1005,6 +1102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "tpch_q3_topk": q_tpch_q3_topk,
     "tpch_q5_region": q_tpch_q5_region,
+    "tpch_q14_promo": q_tpch_q14_promo,
     "rollup_pricing": q_rollup_pricing,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "scalar_url_extract": q_scalar_url_extract,
@@ -1018,11 +1116,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simsearch_brute_topk": q_simsearch_brute_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_query_topk": q_ann_ivf_query_topk,
+    "ann_srp_buckets": q_ann_srp_buckets,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "multimodal_blob_meta": q_multimodal_blob_meta,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "cdc_replay_mini": q_cdc_replay_mini,
     "approx_distinct_users": q_approx_distinct_users,
     "simhash_fingerprints": q_simhash_fingerprints,

@@ -80,6 +80,47 @@ def extract_features(docs_with_blob: DataFrame) -> DataFrame:
     return docs_with_blob.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_chars", T.IntegerType()),
+        T.StructField("frame_fp", T.StringType()),
+    ]
+)
+
+FRAME_CHARS = 1024
+
+
+def sample_frames(docs: DataFrame) -> DataFrame:
+    """Frame sampling for a video-like payload: ONE input row fans out to
+    N frame rows (the 1->N multimodal cardinality shape: mapInPandas yields
+    more rows than it consumes, which select/withColumn cannot express).
+
+    STUB decode: a real sampler would demux with av/ffmpeg; here a 'frame'
+    is a fixed-width slice of the payload, which keeps the operator
+    deterministic AND DuckDB-oracle-checkable while the Spark-side
+    plumbing (Arrow batching, fan-out schema, partition independence) is
+    fully real."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_chars": [], "frame_fp": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                for i in range(0, max(1, -(-len(text) // FRAME_CHARS))):
+                    frame = text[i * FRAME_CHARS : (i + 1) * FRAME_CHARS]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_chars"].append(len(frame))
+                    out["frame_fp"].append(hashlib.md5(frame.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(fn, FRAME_SCHEMA)
+
+
 def featurize_documents(docs: DataFrame) -> DataFrame:
     """documents -> synthesized blobs -> stub features (full plumbing)."""
     blob = F.encode(F.col("text"), "utf-8")

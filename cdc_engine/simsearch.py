@@ -80,6 +80,65 @@ def ivf_assign(emb: DataFrame, n_cells: int = 16) -> DataFrame:
     return best.orderBy("vec_id")
 
 
+def _srp_hyperplanes(n_bits: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes for sign-random-projection
+    LSH: component (j, i) is an integer in [-500, 500] derived from
+    md5(f"{j}:{i}") — reproducible in any engine, no RNG state. Milli-scale
+    integers keep the projections integer-exact cross-engine."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16) % 1001 - 500
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def srp_buckets(emb: DataFrame, n_bits: int = 16, dim: int = 64) -> DataFrame:
+    """(vec_id, srp_bucket): sign-random-projection LSH bucket id — bit j is
+    set iff dot(embedding, hyperplane_j) > 0 (quantized integer dot, so the
+    DuckDB oracle is bit-exact). At scale this is the ANN partitioning
+    function complementary to IVF: vectors are written bucketed by
+    srp_bucket and a query probes its own (and Hamming-adjacent) buckets —
+    candidate generation never compares all pairs. The hyperplanes are
+    literal constants, so the projection is a single narrow scan with no
+    join at all."""
+    planes = _srp_hyperplanes(n_bits, dim)
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        arr = f"array({', '.join(f'cast({v} as bigint)' for v in plane)})"
+        proj = F.expr(
+            f"aggregate(zip_with(embedding, {arr}, (x, y) -> "
+            f"cast(round(cast(x as double) * 1000) as bigint) * y), "
+            f"cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return emb.select("vec_id", bucket.alias("srp_bucket")).orderBy("vec_id")
+
+
+def srp_bucket_sql(n_bits: int = 16, dim: int = 64) -> str:
+    """DuckDB oracle for srp_buckets, generated from the SAME hyperplane
+    constants (single source of truth)."""
+    planes = _srp_hyperplanes(n_bits, dim)
+    terms = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        proj = (
+            f"(SELECT SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)"
+            f" * ({arr})[i]) FROM range(1, {dim + 1}) t(i))"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END")
+    fp = " + ".join(terms)
+    return (
+        f"SELECT vec_id, CAST({fp} AS BIGINT) AS srp_bucket "
+        f"FROM embeddings ORDER BY vec_id"
+    )
+
+
 def ivf_query_topk(
     emb: DataFrame, query_vec_id: int = 0, n_cells: int = 16, k: int = 10
 ) -> DataFrame:

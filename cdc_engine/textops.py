@@ -95,3 +95,39 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Whitespace-normalized md5 content fingerprint."""
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     return docs.select("doc_id", F.md5(norm).alias("fp")).orderBy("doc_id")
+
+
+def winnow_fingerprint(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprint (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken's MOSS): hash every k-gram of the token
+    stream, slide a window of w hashes, keep each window's minimum; the
+    distinct minima are the fingerprint. Plagiarism/near-dup detection at
+    scale stores (fp_hash -> doc) postings instead of full text.
+
+    Entirely array expressions on one narrow scan — no explode, no
+    shuffle, no Python — and md5-derived hashes so the DuckDB oracle is
+    bit-exact. Output is scalar-only: (doc_id, n_grams, n_fps, fp_hash)
+    where fp_hash = md5 of the sorted distinct minima joined by ','."""
+    empty_i = F.expr("cast(array() as array<int>)")
+    toks = tokens_expr()
+    n = F.size(toks)
+    # guard: Spark's sequence(1, 0) DESCENDS instead of being empty
+    gram_idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(empty_i)
+    hashes = F.transform(
+        gram_idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 12), 16, 10
+        ).cast("long"),
+    )
+    m = F.size(hashes)
+    min_idx = F.when(m >= w, F.sequence(F.lit(1), m - w + 1)).otherwise(empty_i)
+    mins = F.transform(min_idx, lambda i: F.array_min(F.slice(hashes, i, w)))
+    fps = F.array_sort(F.array_distinct(mins))
+    return docs.select(
+        "doc_id",
+        m.cast("int").alias("n_grams"),
+        F.size(fps).cast("int").alias("n_fps"),
+        F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")).alias(
+            "fp_hash"
+        ),
+    ).orderBy("doc_id")
