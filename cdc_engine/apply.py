@@ -88,7 +88,8 @@ def apply_epoch(
     cfg = cfg or CdcConfig()
     if quarantine_dir is None:
         quarantine_dir = cfg.quarantine_dir
-    entry = lake.manifest()["ledger"].get(str(epoch_id))
+    man = lake.manifest()
+    entry = man["ledger"].get(str(epoch_id))
     if entry is not None and expected_seq_range is not None:
         # J4 idempotence fast-path: no Spark work — the expected window is
         # known a priori, so the ledger entry can be verified immediately
@@ -108,7 +109,7 @@ def apply_epoch(
     # NARROW: seq, source_partition, validity and the url hash only —
     # lineage byte accounting comes from the cached deduped winners inside
     # merge, so the wide html column is never scanned twice.
-    n_buckets = lake.manifest()["n_buckets"]
+    n_buckets = man["n_buckets"]
     sp = F.col("source_partition").cast("int") if "source_partition" in df.columns else F.lit(None).cast("int")
     stats_rows = (
         df.groupBy(sp.alias("pid"))
@@ -156,16 +157,21 @@ def apply_epoch(
     if not touched:
         return None  # every row was quarantined; nothing to commit
 
-    # W1: one row per url — MUST precede merge (multiple source matches per
-    # target row would make the merge nondeterministic; SURVEY.md §4 inv. 1)
-    df = lww_dedup(
-        df,
-        key="url",
-        ts="warc_ts",
-        seq="seq",
-        strategy=cfg.dedup_strategy,
-        salt_buckets=cfg.salt_buckets,
-    )
+    # W1: one row per url — MUST precede a COW merge (multiple source
+    # matches per target row would make the full-outer merge
+    # nondeterministic; SURVEY.md §4 inv. 1). A MoR delta tolerates
+    # multiplicity (scan-collapse is the LWW judge), so cfg.mor_write_dedup
+    # = False skips the dedup shuffle entirely on the write path.
+    mor_deferred = man.get("mode", "cow") == "mor" and not cfg.mor_write_dedup
+    if not mor_deferred:
+        df = lww_dedup(
+            df,
+            key="url",
+            ts="warc_ts",
+            seq="seq",
+            strategy=cfg.dedup_strategy,
+            salt_buckets=cfg.salt_buckets,
+        )
 
     # J6: optional explicit pre-merge shuffle on hash(url); the dedup above
     # already leaves the batch hash-partitioned on url, so default is off
