@@ -429,8 +429,11 @@ def q_rollup_pricing(spark, sf):
 
 def q_embedding_neardup_pairs(spark, sf):
     """Near-duplicate embedding pairs within a label block: integer-exact
-    cosine^2 >= 0.9^2 via quantized dot and norm products (no float
-    accumulation, so the DuckDB oracle matches bit-for-bit)."""
+    cosine^2 >= 0.35^2 via quantized dot and norm products (no float
+    accumulation, so the DuckDB oracle matches bit-for-bit). Threshold
+    chosen non-vacuously for the synthetic embeddings (max same-label
+    cosine is ~0.475, so 0.35 yields real matching pairs — a threshold the
+    data can never reach would make the hash check meaningless)."""
     from cdc_engine.simsearch import dot_q
 
     emb = t(spark, sf, "embeddings")
@@ -447,9 +450,9 @@ def q_embedding_neardup_pairs(spark, sf):
         dot_q("ea", "ea").alias("na2"),
         dot_q("eb", "eb").alias("nb2"),
     )
-    # cos >= 0.9 (and dot > 0):  100*dot^2 >= 81*na2*nb2
+    # cos >= 0.35 (and dot > 0):  400*dot^2 >= 49*na2*nb2
     return (
-        d.where((F.col("dot_q") > 0) & (100 * F.col("dot_q") * F.col("dot_q") >= 81 * F.col("na2") * F.col("nb2")))
+        d.where((F.col("dot_q") > 0) & (400 * F.col("dot_q") * F.col("dot_q") >= 49 * F.col("na2") * F.col("nb2")))
         .select("va", "vb", "dot_q")
         .orderBy("va", "vb")
     )
@@ -889,7 +892,7 @@ ORACLE_SQL: dict[str, str] = {
                range(1, 65) t(i)
           GROUP BY a.vec_id, b.vec_id)
         SELECT va, vb, dot_q FROM d
-        WHERE dot_q > 0 AND 100 * dot_q * dot_q >= 81 * na2 * nb2
+        WHERE dot_q > 0 AND 400 * dot_q * dot_q >= 49 * na2 * nb2
         ORDER BY va, vb
     """,
     "dedup_exact_stats": """
