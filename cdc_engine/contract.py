@@ -290,6 +290,44 @@ def q_json_props_extract(spark, sf):
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_daily_event_types(spark, sf):
+    """Pivot: one row per day, one count column per event type (explicit
+    value list so the plan is a single pass, no type-discovery job)."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside Pivot
+        .select(
+            "day", *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in _EVENT_TYPES]
+        )
+        .orderBy("day")
+    )
+
+
+def q_approx_quantiles_value(spark, sf):
+    """Approximate quantile sketch checked against exact percentiles: the
+    approx p50 must land within the exact [p40, p60] band (cross-engine
+    exact-median comparison is representation-fragile; the bound check is
+    robust and still falsifiable)."""
+    ev = t(spark, sf, "events")
+    r = ev.agg(
+        F.percentile_approx("value", 0.5, 10_000).alias("ap50"),
+        F.expr("percentile(value, 0.4)").alias("p40"),
+        F.expr("percentile(value, 0.6)").alias("p60"),
+        F.count("*").alias("n"),
+    )
+    return r.select(
+        "n",
+        ((F.col("ap50") >= F.col("p40")) & (F.col("ap50") <= F.col("p60"))).alias(
+            "p50_within_band"
+        ),
+    )
+
+
 def q_udaf_value_by_type(spark, sf):
     """Grouped-agg pandas UDAF (Arrow-vectorized, never per-row Python)."""
     ev = t(spark, sf, "events")
@@ -803,6 +841,18 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "pivot_daily_event_types": """
+        SELECT date_trunc('day', ts) AS day,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "approx_quantiles_value": """
+        SELECT COUNT(*) AS n, TRUE AS p50_within_band FROM events
+    """,
     "udaf_value_by_type": """
         SELECT event_type,
                CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
@@ -1099,6 +1149,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_window_counts": q_sliding_window_counts,
     "session_windows": q_session_windows,
     "json_props_extract": q_json_props_extract,
+    "pivot_daily_event_types": q_pivot_daily_event_types,
+    "approx_quantiles_value": q_approx_quantiles_value,
     "udaf_value_by_type": q_udaf_value_by_type,
     "broadcast_dim_join": q_broadcast_dim_join,
     "semi_join_customers": q_semi_join_customers,
