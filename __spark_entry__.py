@@ -2,11 +2,13 @@
 
 ``entry(spark)`` runs the flagship path: the actual CDC engine end-to-end
 (WAL generate -> streaming-shaped replay -> LWW MERGE -> snapshot scan) on
-sf0.001. ``queries()`` exposes one entry per implemented operator family
-from SURVEY.md §2 plus the training-data operators (dedup / similarity /
-text analysis / multimodal); ``oracle_sql()`` carries the DuckDB-equivalent
-SQL for every SQL-expressible one (rows-only checks for the stateful engine
-run, sketches, and pandas-UDF ops).
+sf0.001, projected scalar-comparable and checked against the independently
+computed sequential pandas oracle. ``queries()`` exposes one entry per
+implemented operator family from SURVEY.md §2 (+§2.11) plus the
+training-data operators (dedup / similarity / text analysis /
+multimodal); ``oracle_sql()`` carries the DuckDB-equivalent SQL for every
+entry except ``multimodal_features_stub`` (its decoder is an
+honestly-declared stub — nothing exists for DuckDB to recompute).
 """
 
 from __future__ import annotations

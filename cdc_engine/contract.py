@@ -5,9 +5,17 @@
 Cross-engine determinism rules (see also textops.py):
   * every aggregate over doubles is quantized to bigint milli-units
     BEFORE summing (integer sums are order-insensitive and exact);
+  * every DuckDB integer SUM gets an OUTER cast back to BIGINT — DuckDB
+    promotes SUM(BIGINT) to HUGEINT, which pandas renders as float64 and
+    the driver's dtype-sensitive value-hash rejects (the round-1 lesson);
   * every computed column is aliased identically on both sides;
   * regexp_replace in DuckDB gets the 'g' flag (Spark is global by default);
-  * hashing is md5-based only.
+  * hashing is md5-based only;
+  * contract projections are scalar-only (arrays/binary crash or drift in
+    the driver's pandas canonicalizer — fingerprint them instead);
+  * sketches (HLL, percentile_approx) are checked as booleans against
+    exactly-computed bands, so they stay falsifiable without requiring
+    bit-identical sketch internals.
 """
 
 from __future__ import annotations
