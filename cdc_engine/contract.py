@@ -212,6 +212,27 @@ def q_lag_gap_audit(spark, sf):
     ).orderBy("user_id", "event_id")
 
 
+def q_asof_prior_click(spark, sf):
+    """J7 as-of lookup: for every purchase, the most recent STRICTLY PRIOR
+    click of the same user (event-time as-of semantics as a conditional
+    last-value window — no join explosion, one shuffle on the key)."""
+    ev = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.select("user_id", "event_id", "event_type", prior.alias("prior_click_id"))
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "prior_click_id")
+        .orderBy("user_id", "event_id")
+    )
+
+
 def q_union_schema_merge(spark, sf):
     ev = t(spark, sf, "events")
     signup = ev.where(F.col("event_type") == "signup").select(
@@ -794,6 +815,15 @@ ORACLE_SQL: dict[str, str] = {
                          ts) AS gap_us
         FROM events ORDER BY user_id, event_id
     """,
+    "asof_prior_click": """
+        SELECT user_id, event_id, prior_click_id FROM (
+            SELECT user_id, event_id, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_id
+            FROM events)
+        WHERE event_type = 'purchase' ORDER BY user_id, event_id
+    """,
     "union_schema_merge": """
         SELECT event_id, user_id, ts, CAST(NULL AS BIGINT) AS value_milli
         FROM events WHERE event_type = 'signup'
@@ -1150,6 +1180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_exact": q_distinct_exact,
     "running_window": q_running_window,
     "lag_gap_audit": q_lag_gap_audit,
+    "asof_prior_click": q_asof_prior_click,
     "union_schema_merge": q_union_schema_merge,
     "except_diff": q_except_diff,
     "intersect_users": q_intersect_users,
