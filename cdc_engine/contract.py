@@ -35,6 +35,7 @@ from cdc_engine.dedup_text import (
     simhash_fingerprints,
 )
 from cdc_engine.multimodal import blob_meta, featurize_documents, sample_frames
+from cdc_engine.sampling import dataset_splits, stratified_sample
 from cdc_engine.simsearch import (
     brute_topk,
     ivf_assign,
@@ -587,6 +588,19 @@ def q_winnow_fingerprints(spark, sf):
     return winnow_fingerprint(t(spark, sf, "documents"), k=5, w=4)
 
 
+def q_dataset_splits(spark, sf):
+    return dataset_splits(t(spark, sf, "documents"))
+
+
+def q_stratified_sample(spark, sf):
+    docs = t(spark, sf, "documents")
+    return (
+        stratified_sample(docs, {"en": 100, "de": 500, "fr": 1000}, default_permille=0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_multimodal_blob_meta(spark, sf):
     return blob_meta(t(spark, sf, "documents"))
 
@@ -1117,6 +1131,20 @@ ORACLE_SQL: dict[str, str] = {
         FROM read_parquet('{REPLAY_ORACLE_PARQUET}')
         ORDER BY url
     """,
+    "dataset_splits": """
+        SELECT doc_id,
+               CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000 AS INTEGER) AS bucket,
+               CASE WHEN ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000 < 100 THEN 'test'
+                    WHEN ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000 < 200 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents ORDER BY doc_id
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000
+              < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 500 WHEN 'fr' THEN 1000 ELSE 0 END
+        ORDER BY doc_id
+    """,
     "winnow_fingerprints": """
         WITH b AS (
           SELECT doc_id,
@@ -1216,6 +1244,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "dataset_splits": q_dataset_splits,
+    "stratified_sample": q_stratified_sample,
     "multimodal_blob_meta": q_multimodal_blob_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "cdc_replay_mini": q_cdc_replay_mini,
