@@ -588,6 +588,26 @@ def q_winnow_fingerprints(spark, sf):
     return winnow_fingerprint(t(spark, sf, "documents"), k=5, w=4)
 
 
+def q_edit_distance_rescore(spark, sf):
+    """Near-dup rescoring: exact Levenshtein distance over 64-char prefixes
+    of LSH candidate pairs (the cheap post-filter after candidate
+    generation — never all-pairs). Keeps pairs with prefix distance <= 16."""
+    docs = t(spark, sf, "documents")
+    cand = lsh_candidate_pairs(docs, k=8, band_rows=2)
+    pre = docs.select("doc_id", F.substring("text", 1, 64).alias("p"))
+    a, b = pre.alias("a"), pre.alias("b")
+    return (
+        cand.join(a, F.col("da") == F.col("a.doc_id"))
+        .join(b, F.col("db") == F.col("b.doc_id"))
+        .select(
+            "da", "db",
+            F.levenshtein(F.col("a.p"), F.col("b.p")).alias("prefix_edit"),
+        )
+        .where(F.col("prefix_edit") <= 16)
+        .orderBy("da", "db")
+    )
+
+
 def q_dataset_splits(spark, sf):
     return dataset_splits(t(spark, sf, "documents"))
 
@@ -1131,6 +1151,14 @@ ORACLE_SQL: dict[str, str] = {
         FROM read_parquet('{REPLAY_ORACLE_PARQUET}')
         ORDER BY url
     """,
+    "edit_distance_rescore": """
+        WITH {LSH},
+        pre AS (SELECT doc_id, substring(text, 1, 64) AS p FROM documents)
+        SELECT c.da, c.db, CAST(levenshtein(a.p, b.p) AS INTEGER) AS prefix_edit
+        FROM cand c JOIN pre a ON c.da = a.doc_id JOIN pre b ON c.db = b.doc_id
+        WHERE levenshtein(a.p, b.p) <= 16
+        ORDER BY da, db
+    """,
     "dataset_splits": """
         SELECT doc_id,
                CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000 AS INTEGER) AS bucket,
@@ -1195,7 +1223,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
-for _k in ("lsh_candidates", "jaccard_on_lsh"):
+for _k in ("lsh_candidates", "jaccard_on_lsh", "edit_distance_rescore"):
     ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{LSH}", _LSH_CTES)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1235,6 +1263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_on_lsh": q_jaccard_on_lsh,
+    "edit_distance_rescore": q_edit_distance_rescore,
     "simsearch_brute_topk": q_simsearch_brute_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_query_topk": q_ann_ivf_query_topk,
