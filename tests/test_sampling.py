@@ -1,0 +1,50 @@
+"""Deterministic sampling: split assignment must be a pure function of the
+key — invariant to partitioning, row order, and re-computation — and hit
+the configured proportions in expectation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_engine.sampling import dataset_splits, stratified_sample
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_split_assignment_invariant_to_partitioning(spark):
+    docs = _docs(spark)
+    a = sorted(dataset_splits(docs).collect())
+    b = sorted(dataset_splits(docs.repartition(13).orderBy(F.rand(3))).collect())
+    assert a == b
+
+
+def test_split_proportions_and_exclusivity(spark):
+    got = dataset_splits(_docs(spark)).groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in got}
+    n = sum(by.values())
+    assert set(by) <= {"train", "val", "test"}
+    # 80/10/10 within generous binomial slack at n=500
+    assert 0.70 * n <= by["train"] <= 0.90 * n
+    assert by.get("val", 0) > 0 and by.get("test", 0) > 0
+
+
+def test_stratified_rates_respected(spark):
+    docs = _docs(spark)
+    kept = stratified_sample(docs, {"fr": 1000, "en": 0}, default_permille=0)
+    langs = {r["lang"] for r in kept.select("lang").distinct().collect()}
+    assert langs == {"fr"}  # en rate 0, default 0 -> only fr survives
+    n_fr = docs.where(F.col("lang") == "fr").count()
+    assert kept.count() == n_fr  # rate 1000 == keep all
+
+
+def test_stratified_sample_is_subset_and_stable(spark):
+    docs = _docs(spark)
+    s1 = {r["doc_id"] for r in stratified_sample(docs, {"en": 300}).select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in stratified_sample(docs.repartition(7), {"en": 300}).select("doc_id").collect()}
+    assert s1 == s2
+    # growing the rate only ADDS members (nested samples — the property that
+    # lets you scale a corpus mix up without resampling everything)
+    s3 = {r["doc_id"] for r in stratified_sample(docs, {"en": 600}).select("doc_id").collect()}
+    assert s1 <= s3
