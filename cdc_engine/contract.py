@@ -608,6 +608,27 @@ def q_edit_distance_rescore(spark, sf):
     )
 
 
+def q_text_extract_invariant(spark, sf):
+    """F1, driver-checked: wrap every document text in the fixed html
+    envelope, run the REAL extract_text pandas UDF (Arrow, bytes-safe),
+    and count rows violating extract_text(html) == text. The oracle
+    recomputes the extraction independently with string slicing — both
+    sides must independently arrive at zero violations over the same
+    corpus (BASELINE.json's byte-identical extracted-text invariant)."""
+    from cdc_engine.textex import extract_text
+
+    docs = t(spark, sf, "documents")
+    html = F.encode(
+        F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+        "utf-8",
+    )
+    ok = extract_text(html).eqNullSafe(F.col("text"))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("n_violations"),
+    )
+
+
 def q_dataset_splits(spark, sf):
     return dataset_splits(t(spark, sf, "documents"))
 
@@ -1159,6 +1180,14 @@ ORACLE_SQL: dict[str, str] = {
         WHERE levenshtein(a.p, b.p) <= 16
         ORDER BY da, db
     """,
+    "text_extract_invariant": """
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN text IS NULL THEN 0
+                             WHEN substring('<html><body>' || text || '</body></html>',
+                                            13, length(text)) = text THEN 0
+                             ELSE 1 END) AS BIGINT) AS n_violations
+        FROM documents
+    """,
     "dataset_splits": """
         SELECT doc_id,
                CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000 AS INTEGER) AS bucket,
@@ -1273,6 +1302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "text_extract_invariant": q_text_extract_invariant,
     "dataset_splits": q_dataset_splits,
     "stratified_sample": q_stratified_sample,
     "multimodal_blob_meta": q_multimodal_blob_meta,
