@@ -23,14 +23,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cdc_engine.contract import ORACLE_SQL, QUERIES, q_cdc_replay_mini  # noqa: E402
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _ensure_engine_on_executors(spark: SparkSession) -> None:
+    """Some queries run vectorized UDFs whose pickled closures reference
+    cdc_engine modules; Python workers must be able to import them. If the
+    driver's worker env doesn't already share this repo's sys.path, ship
+    the --py-files zip to executors once per session (harmless if
+    redundant; guarded so an exotic session config can't break queries
+    that never touch Python workers)."""
+    try:
+        if spark.conf.get("spark.cdc.pyfiles.added", None) == "1":
+            return
+        sys.path.insert(0, _REPO)
+        import package
+
+        z = package.build("dist/cdc_engine.zip")
+        spark.sparkContext.addPyFile(z)
+        spark.conf.set("spark.cdc.pyfiles.added", "1")
+    except Exception:
+        pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full CDC replay (engine, not a query) on sf0.001."""
+    _ensure_engine_on_executors(spark)
     return q_cdc_replay_mini(spark, "/root/testdata/sf0.001")
 
 
+def _wrap(fn: Callable) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_engine_on_executors(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
