@@ -65,4 +65,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # cdc_replay_mini's static SQL globs the replay-oracle handoff dir;
+    # guarantee the glob matches (an empty, tag-unmatched bootstrap file)
+    # even if the harness evaluates SQL before running the flagship query
+    from cdc_engine.contract import ensure_replay_oracle_bootstrap
+
+    ensure_replay_oracle_bootstrap()
     return dict(ORACLE_SQL)
