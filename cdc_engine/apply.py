@@ -89,7 +89,7 @@ def apply_epoch(
     if quarantine_dir is None:
         quarantine_dir = cfg.quarantine_dir
     man = lake.manifest()
-    entry = man["ledger"].get(str(epoch_id))
+    entry = lake.ledger_entry(epoch_id, man)
     if entry is not None and expected_seq_range is not None:
         # J4 idempotence fast-path: no Spark work — the expected window is
         # known a priori, so the ledger entry can be verified immediately

@@ -124,14 +124,14 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "status":
         lake = SnapLake(args.lake)
         man = lake.manifest()
-        epochs = sorted(int(k) for k in man["ledger"])
+        epochs = sorted(lake.committed_epochs())
         counts = lake.bucket_file_counts()
         print(json.dumps({
             "version": man["version"],
             "mode": man.get("mode", "cow"),
             "schema": [f.name for f in lake.schema().fields],
             "epochs": [epochs[0], epochs[-1]] if epochs else [],
-            "files": len(man["files"]),
+            "files": sum(counts.values()),
             "max_files_per_bucket": max(counts.values()) if counts else 0,
         }))
     spark.stop()

@@ -26,7 +26,7 @@ def test_mor_matches_oracle_and_cow(spark, wal_basic, tmp_path):
     assert_matches_oracle(mor.scan(spark), oracle)
     assert mor.state_hash(spark) == cow.state_hash(spark)
     # and it really was append-only: deltas outnumber epochs' worth of base
-    kinds = {f.get("kind", "base") for f in mor.manifest()["files"]}
+    kinds = {f.get("kind", "base") for f in mor._files(mor.manifest())}
     assert "delta" in kinds
 
 
@@ -39,7 +39,7 @@ def test_mor_compaction_preserves_state_and_bounds_files(spark, wal_basic, tmp_p
     # full manual compaction: all-base afterwards, state unchanged
     h = lake.state_hash(spark)
     lake.compact(spark, sorted(lake.bucket_file_counts()))
-    assert all(f.get("kind", "base") == "base" for f in lake.manifest()["files"])
+    assert all(f.get("kind", "base") == "base" for f in lake._files(lake.manifest()))
     assert lake.state_hash(spark) == h
     assert_matches_oracle(lake.scan(spark), oracle)
 

@@ -23,7 +23,7 @@ def test_deferred_dedup_state_identical(spark, wal_basic, tmp_path):
     assert eager.state_hash(spark) == deferred.state_hash(spark)
     assert_matches_oracle(deferred.scan(spark), oracle.drop(columns=["fetch_status"], errors="ignore"))
     # the deferred delta really is bigger (it kept the duplicates)...
-    rows = lambda lake: sum(f["rows"] for f in lake.manifest()["files"])
+    rows = lambda lake: sum(f["rows"] for f in lake._files(lake.manifest()))
     assert rows(deferred) > rows(eager)
 
 

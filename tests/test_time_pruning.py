@@ -19,7 +19,7 @@ def _setup(spark, tmp_path, wal_basic, mode):
 
 def test_manifest_records_ts_ranges(spark, wal_basic, tmp_path):
     lake, _ = _setup(spark, tmp_path, wal_basic, "cow")
-    files = lake.manifest()["files"]
+    files = lake._files(lake.manifest())
     assert files and all(f["ts_min"] is not None and f["ts_max"] is not None for f in files)
 
 
