@@ -36,13 +36,17 @@ def _gate_fn(output_cols: list[str]):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         last_ts, last_seq = state.get if state.exists else (-1, -1)
         batch = pd.concat(list(pdfs), ignore_index=True)
         ts_ns = batch["warc_ts"].to_numpy().astype("datetime64[ns]").astype("int64")
         seq = batch["seq"].to_numpy()
-        # batch winner = max (warc_ts, seq); the unit only needs to be
-        # consistent across batches, so raw int64 ns is fine for state
-        i = max(range(len(batch)), key=lambda j: (ts_ns[j], seq[j]))
+        # batch winner = argmax of (warc_ts, seq), vectorized: lexsort's
+        # LAST key is primary, so the final index is the max pair. The unit
+        # only needs to be consistent across batches, so raw int64 ns is
+        # fine for state.
+        i = int(np.lexsort((seq, ts_ns))[-1])
         if (int(ts_ns[i]), int(seq[i])) > (last_ts, last_seq):
             state.update((int(ts_ns[i]), int(seq[i])))
             yield batch.iloc[[i]][output_cols]
