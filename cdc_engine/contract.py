@@ -495,23 +495,53 @@ def q_rollup_pricing(spark, sf):
     )
 
 
+_NEARDUP_SRP_BITS = 4
+_NEARDUP_PROBE_MASKS = (0, 1, 2, 4, 8)  # self + every Hamming-1 neighbor
+
+
 def q_embedding_neardup_pairs(spark, sf):
-    """Near-duplicate embedding pairs within a label block: integer-exact
-    cosine^2 >= 0.35^2 via quantized dot and norm products (no float
-    accumulation, so the DuckDB oracle matches bit-for-bit). Threshold
-    chosen non-vacuously for the synthetic embeddings (max same-label
-    cosine is ~0.475, so 0.35 yields real matching pairs — a threshold the
-    data can never reach would make the hash check meaningless)."""
-    from cdc_engine.simsearch import dot_q
+    """Near-duplicate embedding pairs, SRP-bucket blocked (round-2 verdict
+    task 5 — the old form blocked on `label`, a quadratic block under a hot
+    label at 100 TB): candidates are generated by exploding each vector's
+    4-bit sign-random-projection bucket into itself + its 4 Hamming-1
+    probes and EQUI-joining probe == bucket, so the join is bucketed —
+    never all-pairs — and scoring (integer-exact quantized cosine^2 >=
+    0.35^2, bit-identical in DuckDB) runs only on candidates.
+
+    Measured on sf0.01 (500 vectors): 39 645 of 124 750 possible pairs
+    become candidates; the result keeps 140 of the 271 exhaustive
+    cos>=0.35 pairs (recall 0.52), including 14 of the 26 pairs the old
+    label-blocked form found. Recall at this LOW demo threshold is the
+    honest SRP tradeoff — the synthetic embeddings' max cosine is ~0.475,
+    and a random hyperplane agrees on a 0.35-cosine pair with p~=0.61/bit.
+    At true near-dup thresholds the same plan keeps recall while the
+    buckets shard: p(bit agree) at cos 0.95 is ~0.90, so 16-bit buckets +
+    Hamming-1 probing retain the overwhelming majority of real duplicates;
+    n_bits scales as ~log2(n/target_bucket_size) with the corpus."""
+    from cdc_engine.simsearch import dot_q, srp_buckets
 
     emb = t(spark, sf, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    b = srp_buckets(emb, n_bits=_NEARDUP_SRP_BITS, dim=64)
+    e = emb.join(b, "vec_id").select("vec_id", "embedding", "srp_bucket")
+    probes = e.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.explode(
+            F.array(
+                *[
+                    F.col("srp_bucket").bitwiseXOR(F.lit(m))
+                    for m in _NEARDUP_PROBE_MASKS
+                ]
+            )
+        ).alias("p"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    base = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("srp_bucket").alias("bb"),
     )
-    j = a.join(b, (F.col("la") == F.col("lb")) & (F.col("va") < F.col("vb")))
+    # each ham<=1 pair matches exactly one probe, so no dedup is needed
+    j = probes.join(base, (F.col("p") == F.col("bb")) & (F.col("va") < F.col("vb")))
     d = j.select(
         "va", "vb",
         dot_q("ea", "eb").alias("dot_q"),
@@ -1092,15 +1122,19 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     "embedding_neardup_pairs": f"""
-        WITH d AS (
-          SELECT a.vec_id AS va, b.vec_id AS vb,
-                 {_DOT_SQL.format(a='a.embedding', b='b.embedding')} AS dot_q,
-                 {_DOT_SQL.format(a='a.embedding', b='a.embedding')} AS na2,
-                 {_DOT_SQL.format(a='b.embedding', b='b.embedding')} AS nb2
-          FROM embeddings a JOIN embeddings b
-            ON a.label = b.label AND a.vec_id < b.vec_id,
-               range(1, 65) t(i)
-          GROUP BY a.vec_id, b.vec_id)
+        WITH srp AS ({srp_bucket_sql(n_bits=_NEARDUP_SRP_BITS, dim=64)}),
+        e AS (SELECT x.vec_id, x.embedding, s.srp_bucket
+              FROM embeddings x JOIN srp s ON x.vec_id = s.vec_id),
+        pr AS (SELECT vec_id AS va, embedding AS ea,
+                      unnest([{", ".join(f"xor(srp_bucket, {m}::BIGINT)" for m in _NEARDUP_PROBE_MASKS)}]) AS p
+               FROM e),
+        cand AS (SELECT pr.va, e2.vec_id AS vb, pr.ea, e2.embedding AS eb
+                 FROM pr JOIN e e2 ON pr.p = e2.srp_bucket AND pr.va < e2.vec_id),
+        d AS (SELECT va, vb,
+                     {_DOT_SQL.format(a='ea', b='eb')} AS dot_q,
+                     {_DOT_SQL.format(a='ea', b='ea')} AS na2,
+                     {_DOT_SQL.format(a='eb', b='eb')} AS nb2
+              FROM cand, range(1, 65) t(i) GROUP BY va, vb)
         SELECT va, vb, dot_q FROM d
         WHERE dot_q > 0 AND 400 * dot_q * dot_q >= 49 * na2 * nb2
         ORDER BY va, vb
