@@ -95,17 +95,48 @@ def main() -> None:
             "quality_scores",
             "simhash_fingerprints",
             "ann_srp_buckets",
-            # NOT jaccard_on_lsh: the synthetic sf0.1 documents are so
-            # self-similar that ~80% of all pairs share an LSH bucket, so
-            # exact scoring degenerates to near-all-pairs (~95s) — a data
-            # property, not an operator property; it stays contract-checked
-            # at sf0.01
         ]
         for name in headline:
             t0 = time.monotonic()
             df = QUERIES[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.monotonic() - t0, 3)
+
+        # Production near-dup path (round-2 verdict task 9), timed at the
+        # PRODUCTION banding (k=24, band_rows=8), not the contract's (8,2):
+        # the synthetic sf0.1 documents are pathologically self-similar
+        # (4992 unique texts drawn from a small template pool), so (8,2)
+        # makes ~85% of all 12.5M pairs candidates and exact scoring
+        # degenerates to near-all-pairs (~95s) — a data property, not an
+        # operator property. (24,8) still yields 2.8M candidate pairs (23%
+        # of all pairs), so these rows measure candidate-bounded exact
+        # scoring throughput on a worst-case-similarity corpus. The (8,2)
+        # form stays hash-checked by the contract at sf0.01.
+        from pyspark.sql import functions as F
+
+        from cdc_engine.dedup_text import jaccard_on_lsh, lsh_candidate_pairs
+
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        t0 = time.monotonic()
+        jaccard_on_lsh(docs, k=24, band_rows=8, threshold_milli=900).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["jaccard_on_lsh"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        cand = lsh_candidate_pairs(docs, k=24, band_rows=8)
+        pre = docs.select("doc_id", F.substring("text", 1, 64).alias("p"))
+        a, b = pre.alias("a"), pre.alias("b")
+        (
+            cand.join(a, F.col("da") == F.col("a.doc_id"))
+            .join(b, F.col("db") == F.col("b.doc_id"))
+            .select("da", "db", F.levenshtein(F.col("a.p"), F.col("b.p")).alias("prefix_edit"))
+            .where(F.col("prefix_edit") <= 16)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        timings["edit_distance_rescore"] = round(time.monotonic() - t0, 3)
 
         total = round(sum(timings.values()), 3)
         print(
