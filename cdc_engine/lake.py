@@ -208,10 +208,18 @@ class SnapLake:
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
         """Immutable manifest file + atomic HEAD swap (S5).
 
-        Power-loss ordering: the manifest JSON is fsynced BEFORE the HEAD
-        swap (otherwise a renamed HEAD could point at a truncated manifest
-        after power loss), and the directory fd is fsynced AFTER the rename
-        so the HEAD entry itself is durable."""
+        Power-loss ordering: (1) the metadata dir is fsynced FIRST so every
+        side file this commit wrote (ledger segments/index, file groups —
+        content-fsynced at write, dir entry pending) is durable before
+        anything can reference it; (2) the manifest JSON is fsynced BEFORE
+        the HEAD swap (otherwise a renamed HEAD could point at a truncated
+        manifest after power loss); (3) the dir fd is fsynced AFTER the
+        rename so the HEAD entry itself is durable."""
+        dfd = os.open(self.meta_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         mp = self._manifest_path(manifest["version"])
         with open(mp, "x") as f:  # 'x': a version collision is a writer race
             json.dump(manifest, f)
@@ -235,7 +243,12 @@ class SnapLake:
     def _write_side_json(self, rel: str, obj) -> None:
         """fsync'd immutable metadata side file (ledger segment/index, file
         group). Written BEFORE the manifest that references it; rename keeps
-        crash-retry overwrites atomic."""
+        crash-retry overwrites atomic. The DIRECTORY entry is deliberately
+        NOT fsynced here: a commit may write dozens of side files and per-
+        file dir fsyncs would dominate commit latency on disk-backed
+        storage; _write_manifest fsyncs the metadata dir ONCE before the
+        HEAD swap, making every pending side-file rename durable before the
+        manifest that references them can become visible."""
         ap = os.path.join(self.path, rel)
         tmp = f"{ap}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
@@ -243,11 +256,6 @@ class SnapLake:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, ap)
-        dfd = os.open(os.path.dirname(ap), os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
 
     # ------------------------------------------------------------- ledger
     def ledger_entry(
@@ -876,6 +884,79 @@ class SnapLake:
         ]
         return self.compact(spark, sorted(over))
 
+    # ------------------------------------------------------------- expiry
+    def referenced_paths(self, version: int) -> set[str]:
+        """Every table-relative path manifest ``version`` depends on to stay
+        readable: its data files, file-group side files, and ledger
+        index+segment chain."""
+        man = self.manifest(version)
+        refs: set[str] = set()
+        if "files" in man:  # legacy inline list
+            refs.update(f["path"] for f in man["files"])
+        else:
+            for g in man["file_groups"]["groups"].values():
+                refs.add(g["path"])
+            refs.update(f["path"] for f in self._files(man))
+        spill = man.get("ledger_spill") or {}
+        if spill.get("index_path"):
+            refs.add(spill["index_path"])
+            index = _load_side_json(os.path.join(self.path, spill["index_path"]))
+            refs.update(s["path"] for s in index["segments"])
+        return refs
+
+    def expire_snapshots(self, keep_last: int = 10, vacuum: bool = True) -> dict[str, int]:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analog —
+        the retention half of the O(1)-metadata story (without it, old
+        manifests and superseded data files accumulate forever).
+
+        Deletes manifest files older than the newest ``keep_last`` versions,
+        then (``vacuum``) deletes every data file and metadata side file no
+        retained manifest references. Exactly-once is UNAFFECTED: the HEAD
+        manifest's ledger (inline window + spilled segment chain) is always
+        retained, so ``ledger_entry`` still recognizes every committed epoch
+        after expiry. Time travel to an expired version raises
+        FileNotFoundError. Single-writer assumption (same as merge)."""
+        head = self.head_version()
+        lo = max(0, head - keep_last + 1)
+        retained = [v for v in range(lo, head + 1) if os.path.isfile(self._manifest_path(v))]
+        refs: set[str] = set()
+        for v in retained:
+            refs.update(self.referenced_paths(v))
+
+        expired = 0
+        for v in range(lo):
+            mp = self._manifest_path(v)
+            if os.path.isfile(mp):
+                os.remove(mp)
+                expired += 1
+
+        removed_data = removed_meta = 0
+        if vacuum:
+            for dirpath, _dirs, names in os.walk(self.data_dir):
+                for n in names:
+                    rel = os.path.relpath(os.path.join(dirpath, n), self.path)
+                    if n.endswith(".parquet") and rel not in refs:
+                        os.remove(os.path.join(dirpath, n))
+                        removed_data += 1
+            # prune now-empty commit/bucket dirs (cosmetic, keeps walks fast)
+            for dirpath, dirs, names in os.walk(self.data_dir, topdown=False):
+                if not dirs and not names and dirpath != self.data_dir:
+                    os.rmdir(dirpath)
+            keep_names = {"HEAD"} | {f"v{v:08d}.json" for v in retained}
+            for n in os.listdir(self.meta_dir):
+                rel = os.path.join("metadata", n)
+                if n in keep_names or rel in refs or n.startswith(".HEAD"):
+                    continue
+                if n.startswith(("ledger-", "files-")) and n.endswith(".json"):
+                    os.remove(os.path.join(self.meta_dir, n))
+                    removed_meta += 1
+        return {
+            "expired_manifests": expired,
+            "removed_data_files": removed_data,
+            "removed_side_files": removed_meta,
+            "retained_versions": len(retained),
+        }
+
     # ---------------------------------------------------- ledger / lineage
     def ledger_df(self, spark: SparkSession) -> DataFrame:
         rows = [
@@ -891,12 +972,17 @@ class SnapLake:
         return spark.createDataFrame(rows, _LEDGER_SCHEMA)
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:
-        """All epochs' lineage, reconstructed from the manifest chain (each
-        manifest atomically carries its own epoch's rows)."""
+        """All RETAINED epochs' lineage, reconstructed from the manifest
+        chain (each manifest atomically carries its own epoch's rows; the
+        chain stops at the expiry horizon — export_metrics before expiring
+        if full-history lineage must outlive snapshot retention)."""
         rows: list[tuple] = []
         v: int | None = self.head_version()
         while v is not None:
-            man = self.manifest(v)
+            try:
+                man = self.manifest(v)
+            except FileNotFoundError:
+                break  # older snapshots expired
             for r in man.get("lineage", []):
                 # .get: manifests written before a lineage column was added
                 # simply surface NULL for it

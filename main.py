@@ -17,6 +17,7 @@ Subcommands:
     replay   — deterministic bounded replay by seq-range epochs (resumes
                from the ledger automatically)
     compact  — fold merge-on-read delta files back into base files
+    expire   — expire old snapshots + vacuum unreferenced files
     status   — print snapshot version, ledger range, file/bucket stats
 """
 
@@ -84,6 +85,15 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("compact")
     common(p)
 
+    p = sub.add_parser("expire")
+    common(p)
+    p.add_argument("--keep-last", type=int, default=10,
+                   help="retain this many newest snapshots; older manifests "
+                   "are deleted and unreferenced data/side files vacuumed "
+                   "(the ledger always survives — exactly-once is unaffected)")
+    p.add_argument("--no-vacuum", action="store_true",
+                   help="expire manifests only; keep orphaned files on disk")
+
     p = sub.add_parser("status")
     common(p)
 
@@ -121,6 +131,10 @@ def main(argv: list[str] | None = None) -> None:
         lake = SnapLake(args.lake)
         r = lake.compact(spark, sorted(lake.bucket_file_counts()))
         print(json.dumps(r or {}))
+    elif args.cmd == "expire":
+        lake = SnapLake(args.lake)
+        r = lake.expire_snapshots(keep_last=args.keep_last, vacuum=not args.no_vacuum)
+        print(json.dumps(r))
     elif args.cmd == "status":
         lake = SnapLake(args.lake)
         man = lake.manifest()
