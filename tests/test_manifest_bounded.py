@@ -28,7 +28,7 @@ from cdc_engine.lake import (
     FILE_GROUPS_MAX,
     LEDGER_INLINE_MAX,
     SnapLake,
-    _load_side_json,
+    _SideBundle,
 )
 
 SCHEMA = T.StructType([T.StructField("url", T.StringType(), False)])
@@ -55,11 +55,18 @@ def _fake_files(epoch: int) -> tuple[list[int], list[dict]]:
 
 def _commit_metadata(lake: SnapLake, epoch: int) -> int:
     """Mirror of merge()'s metadata commit; returns manifest size in bytes."""
+    import os as _os
+
     man = lake.manifest()
     version = man["version"] + 1
     commit_id = f"c{epoch:08d}"
     touched, new_files = _fake_files(epoch)
-    file_groups = lake._advance_file_groups(man, commit_id, set(touched), new_files)
+    bundle = _SideBundle(
+        _os.path.join("metadata", f"commit-{man['table_uuid'][:8]}-{commit_id}.json")
+    )
+    file_groups = lake._advance_file_groups(
+        man, commit_id, set(touched), new_files, bundle
+    )
     entry = {
         "commit_id": commit_id,
         "epoch_id": epoch,
@@ -68,7 +75,9 @@ def _commit_metadata(lake: SnapLake, epoch: int) -> int:
         "committed_at": "2023-11-14T22:13:20+00:00",
         "snapshot_id": f"v{version:08d}",
     }
-    inline, spill = lake._advance_ledger(man, epoch, entry)
+    inline, spill = lake._advance_ledger(man, epoch, entry, bundle)
+    if bundle.members:
+        lake._write_side_json(bundle.rel_path, bundle.members)
     lake._write_manifest(
         {
             "version": version,
@@ -106,11 +115,9 @@ def test_manifest_bytes_per_commit_bounded(tmp_path):
     assert man["ledger_spill"]["n_spilled"] + len(man["ledger"]) == N_EPOCHS
 
     # log-structured index: segment count is O(log n), not n/chunk
-    index = _load_side_json(os.path.join(lake.path, man["ledger_spill"]["index_path"]))
+    index = lake._resolve_ref(man["ledger_spill"]["index"])
     assert len(index["segments"]) <= 24, len(index["segments"])
-    assert os.path.getsize(
-        os.path.join(lake.path, man["ledger_spill"]["index_path"])
-    ) < 8192
+    assert len(json.dumps(index)) < 8192
 
     # every epoch still looked up exactly; absent ids miss cleanly
     for e in (0, 1, 31, 32, 63, 64, 1000, N_EPOCHS // 2, N_EPOCHS - 1):
@@ -155,10 +162,11 @@ def test_spill_files_precede_manifest_reference(tmp_path):
     for e in range(300):
         _commit_metadata(lake, e)
     man = lake.manifest()
-    refs = [man["ledger_spill"]["index_path"]]
-    index = _load_side_json(os.path.join(lake.path, refs[0]))
-    refs += [s["path"] for s in index["segments"]]
-    refs += [g["path"] for g in man["file_groups"]["groups"].values()]
+    idx_ref = man["ledger_spill"]["index"]
+    refs = [lake._ref_path(idx_ref)]
+    index = lake._resolve_ref(idx_ref)
+    refs += [lake._ref_path(s["ref"]) for s in index["segments"]]
+    refs += [lake._ref_path(g["ref"]) for g in man["file_groups"]["groups"].values()]
     for rel in refs:
         assert os.path.isfile(os.path.join(lake.path, rel)), rel
     # and the spilled segments partition the committed epoch space exactly

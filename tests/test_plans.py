@@ -78,6 +78,15 @@ def test_text_ops_have_no_python_nodes(spark):
         assert "EvalPython" not in p, f"{name} runs Python:\n{p}"
 
 
+def test_neardup_blocking_is_equi_join(spark):
+    """The SRP-blocked near-dup must candidate-generate via an EQUI join on
+    the probe/bucket key — a cartesian/broadcast-nested-loop node would
+    mean the blocking silently degenerated to all-pairs."""
+    p = _plan(QUERIES["embedding_neardup_pairs"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_minhash_single_shuffle_before_order(spark):
     """The signature aggregation must shuffle the token relation exactly
     once (one hashpartitioning exchange); the 8x crossJoin form shuffled
