@@ -89,12 +89,31 @@ FILE_GROUPS_MAX = 64
 
 
 def _load_side_json(path: str):
-    """Read-cache for immutable metadata side files (ledger segments, ledger
-    index, file-group manifests). Safe to cache: side files are content-
-    deterministic, written via fsync+rename BEFORE the manifest referencing
-    them, and their names embed the table uuid + commit id, so a re-created
-    table at the same path can never alias a stale cache entry."""
+    """Read-cache for immutable metadata side files (per-commit bundles,
+    plus any standalone legacy files). Safe to cache: side files are
+    content-deterministic, written via fsync+rename BEFORE the manifest
+    referencing them, and their names embed the table uuid + commit id, so
+    a re-created table at the same path can never alias a stale cache
+    entry."""
     return _load_side_json_cached(path)
+
+
+class _SideBundle:
+    """ONE metadata side file per commit, holding every member this commit
+    produced (file-group lists, spilled ledger segments, the ledger index).
+    Writing one bundle instead of N standalone files keeps the commit at a
+    constant number of fsyncs/objects regardless of touched-group count —
+    on ext4 that is ~1 content fsync instead of up to 64, and on an object
+    store one PUT instead of dozens (the Iceberg manifest-list shape)."""
+
+    def __init__(self, rel_path: str):
+        self.rel_path = rel_path
+        self.members: dict[str, Any] = {}
+
+    def add(self, member: str, obj) -> dict:
+        """Store ``obj`` under ``member``; returns the manifest ref."""
+        self.members[member] = obj
+        return {"path": self.rel_path, "member": member}
 
 
 def _lru(fn):
@@ -182,7 +201,7 @@ class SnapLake:
             "parent": None,
             "summary": {"commit_id": "genesis", "epoch_id": None},
             "ledger": {},
-            "ledger_spill": {"index_path": None, "max_epoch": None, "n_spilled": 0},
+            "ledger_spill": {"index": None, "max_epoch": None, "n_spilled": 0},
             "lineage": [],
         }
         lake._write_manifest(manifest)
@@ -258,6 +277,26 @@ class SnapLake:
         os.replace(tmp, ap)
 
     # ------------------------------------------------------------- ledger
+    def _resolve_ref(self, ref):
+        """Load a metadata side object: ``{"path", "member"}`` addresses a
+        member inside a per-commit bundle; a bare string is a legacy
+        standalone side file."""
+        if isinstance(ref, str):
+            return _load_side_json(os.path.join(self.path, ref))
+        return _load_side_json(os.path.join(self.path, ref["path"]))[ref["member"]]
+
+    def _resolve_ref_pending(self, ref, bundle: _SideBundle):
+        """_resolve_ref that can also see THIS commit's not-yet-written
+        bundle (the log-structured segment merge may fold a segment the
+        same commit just spilled)."""
+        if not isinstance(ref, str) and ref["path"] == bundle.rel_path:
+            return bundle.members[ref["member"]]
+        return self._resolve_ref(ref)
+
+    @staticmethod
+    def _spill_index_ref(spill: dict):
+        return spill.get("index") or spill.get("index_path")  # new | legacy
+
     def ledger_entry(
         self, epoch_id: int, man: dict | None = None
     ) -> dict | None:
@@ -269,16 +308,17 @@ class SnapLake:
         if e is not None:
             return e
         spill = man.get("ledger_spill") or {}
-        if not spill.get("index_path"):
+        idx_ref = self._spill_index_ref(spill)
+        if not idx_ref:
             return None
         if spill.get("max_epoch") is not None and epoch_id > spill["max_epoch"]:
             return None
-        index = _load_side_json(os.path.join(self.path, spill["index_path"]))
+        index = self._resolve_ref(idx_ref)
         # ranges may overlap if epoch ids ever arrive out of order; check
         # every covering segment, newest first
         for seg in reversed(index["segments"]):
             if seg["min_epoch"] <= epoch_id <= seg["max_epoch"]:
-                entries = _load_side_json(os.path.join(self.path, seg["path"]))
+                entries = self._resolve_ref(seg.get("ref") or seg["path"])
                 hit = entries["entries"].get(str(epoch_id))
                 if hit is not None:
                     return hit
@@ -291,38 +331,42 @@ class SnapLake:
         man = self.manifest(version)
         out: dict[int, dict] = {}
         spill = man.get("ledger_spill") or {}
-        if spill.get("index_path"):
-            index = _load_side_json(os.path.join(self.path, spill["index_path"]))
+        idx_ref = self._spill_index_ref(spill)
+        if idx_ref:
+            index = self._resolve_ref(idx_ref)
             for seg in index["segments"]:
-                entries = _load_side_json(os.path.join(self.path, seg["path"]))
+                entries = self._resolve_ref(seg.get("ref") or seg["path"])
                 out.update({int(k): v for k, v in entries["entries"].items()})
         out.update({int(k): v for k, v in man["ledger"].items()})
         return out
 
-    def _advance_ledger(self, man: dict, epoch_id: int, entry: dict) -> tuple[dict, dict]:
+    def _advance_ledger(
+        self, man: dict, epoch_id: int, entry: dict, bundle: _SideBundle
+    ) -> tuple[dict, dict]:
         """(new inline ledger, new spill meta) after adding this epoch;
         spills the oldest LEDGER_SPILL_CHUNK inline entries to an immutable
-        segment + rewrites the (tiny) index when the window overflows.
-        Segment/index contents are pure functions of the parent manifest,
-        so a crash-retry rewrites them byte-identically."""
+        segment + rewrites the (tiny) index when the window overflows —
+        both as members of this commit's side bundle. Spill contents are
+        pure functions of the parent manifest, so a crash-retry rewrites
+        them byte-identically."""
         inline = dict(man["ledger"])
         inline[str(epoch_id)] = entry
-        spill = dict(man.get("ledger_spill") or {"index_path": None, "max_epoch": None, "n_spilled": 0})
+        spill = dict(
+            man.get("ledger_spill")
+            or {"index": None, "max_epoch": None, "n_spilled": 0}
+        )
         if len(inline) <= LEDGER_INLINE_MAX:
             return inline, spill
-        uid = man["table_uuid"][:8]
         oldest = sorted(inline, key=int)[:LEDGER_SPILL_CHUNK]
         seg_entries = {k: inline.pop(k) for k in oldest}
         lo, hi = int(oldest[0]), int(oldest[-1])
-        seg_rel = os.path.join("metadata", f"ledger-{uid}-seg-{lo:012d}-{hi:012d}.json")
-        self._write_side_json(seg_rel, {"entries": seg_entries})
+        seg_ref = bundle.add(f"ledger-seg-{lo:012d}-{hi:012d}", {"entries": seg_entries})
         segments = []
-        if spill.get("index_path"):
-            segments = list(
-                _load_side_json(os.path.join(self.path, spill["index_path"]))["segments"]
-            )
+        idx_ref = self._spill_index_ref(spill)
+        if idx_ref:
+            segments = list(self._resolve_ref(idx_ref)["segments"])
         segments.append(
-            {"path": seg_rel, "min_epoch": lo, "max_epoch": hi, "n": len(seg_entries)}
+            {"ref": seg_ref, "min_epoch": lo, "max_epoch": hi, "n": len(seg_entries)}
         )
         # log-structured segment merge: fold equal-sized neighbors so the
         # segment count — and therefore index size, index rewrite cost, and
@@ -331,25 +375,21 @@ class SnapLake:
         while len(segments) >= 2 and segments[-1]["n"] == segments[-2]["n"]:
             a, b = segments[-2], segments[-1]
             merged = dict(
-                _load_side_json(os.path.join(self.path, a["path"]))["entries"]
+                self._resolve_ref_pending(a.get("ref") or a["path"], bundle)["entries"]
             )
             merged.update(
-                _load_side_json(os.path.join(self.path, b["path"]))["entries"]
+                self._resolve_ref_pending(b.get("ref") or b["path"], bundle)["entries"]
             )
             mlo = min(a["min_epoch"], b["min_epoch"])
             mhi = max(a["max_epoch"], b["max_epoch"])
-            m_rel = os.path.join(
-                "metadata", f"ledger-{uid}-seg-{mlo:012d}-{mhi:012d}.json"
-            )
-            self._write_side_json(m_rel, {"entries": merged})
+            m_ref = bundle.add(f"ledger-seg-{mlo:012d}-{mhi:012d}", {"entries": merged})
             segments[-2:] = [
-                {"path": m_rel, "min_epoch": mlo, "max_epoch": mhi, "n": len(merged)}
+                {"ref": m_ref, "min_epoch": mlo, "max_epoch": mhi, "n": len(merged)}
             ]
-        idx_rel = os.path.join("metadata", f"ledger-{uid}-index-{hi:012d}.json")
-        self._write_side_json(idx_rel, {"segments": segments})
+        index_ref = bundle.add("ledger-index", {"segments": segments})
         max_e = hi if spill.get("max_epoch") is None else max(spill["max_epoch"], hi)
         return inline, {
-            "index_path": idx_rel,
+            "index": index_ref,
             "max_epoch": max_e,
             "n_spilled": spill.get("n_spilled", 0) + len(seg_entries),
         }
@@ -369,19 +409,24 @@ class SnapLake:
                 )
             fs = []
             for g in need:  # metadata reads prune with the bucket filter
-                fs.extend(_load_side_json(os.path.join(self.path, g_all[g]["path"])))
+                fs.extend(self._resolve_ref(g_all[g].get("ref") or g_all[g]["path"]))
         if buckets is not None:
             fs = [f for f in fs if f["bucket"] in buckets]
         return fs
 
     def _advance_file_groups(
-        self, man: dict, commit_id: str, touched: set[int], new_files: list[dict]
+        self,
+        man: dict,
+        commit_id: str,
+        touched: set[int],
+        new_files: list[dict],
+        bundle: _SideBundle,
     ) -> dict:
         """New ``file_groups`` meta after a commit that REPLACES the touched
         buckets' files with ``new_files`` whose kind is 'base', or APPENDS
         delta files (kind 'delta' rides in on the entries). Only groups
-        containing touched buckets get a new side file; every other group's
-        ref is carried forward untouched."""
+        containing touched buckets get a new member in this commit's side
+        bundle; every other group's ref is carried forward untouched."""
         legacy = "file_groups" not in man
         if legacy:
             n_groups = min(FILE_GROUPS_MAX, man["n_buckets"])
@@ -395,14 +440,13 @@ class SnapLake:
             groups = dict(man["file_groups"]["groups"])
             old_all = None
             dirty = {b % n_groups for b in touched}
-        uid = man["table_uuid"][:8]
         appending = all(f.get("kind", "base") == "delta" for f in new_files) and new_files
         for g in sorted(dirty):
             if legacy:
                 old = [f for f in old_all if f["bucket"] % n_groups == g]
             elif str(g) in groups:
-                old = _load_side_json(
-                    os.path.join(self.path, groups[str(g)]["path"])
+                old = self._resolve_ref(
+                    groups[str(g)].get("ref") or groups[str(g)]["path"]
                 )
             else:
                 old = []
@@ -415,10 +459,8 @@ class SnapLake:
             if not new_list:
                 groups.pop(str(g), None)
                 continue
-            rel = os.path.join("metadata", f"files-{uid}-{commit_id}-g{g}.json")
-            self._write_side_json(rel, new_list)
             groups[str(g)] = {
-                "path": rel,
+                "ref": bundle.add(f"files-g{g}", new_list),
                 "n_files": len(new_list),
                 "bytes": sum(f["bytes"] for f in new_list),
             }
@@ -636,7 +678,12 @@ class SnapLake:
         if mode == "mor":
             for f in new_files:
                 f["kind"] = "delta"  # append-only; compaction folds
-        file_groups = self._advance_file_groups(man, commit_id, set(touched), new_files)
+        bundle = _SideBundle(
+            os.path.join("metadata", f"commit-{man['table_uuid'][:8]}-{commit_id}.json")
+        )
+        file_groups = self._advance_file_groups(
+            man, commit_id, set(touched), new_files, bundle
+        )
 
         # -- stats for ledger + lineage (narrow second pass: Catalyst prunes
         # html/text out of both scans; the join re-runs on slim columns)
@@ -769,8 +816,10 @@ class SnapLake:
             "snapshot_id": snapshot_id,
         }
         inline_ledger, ledger_spill = self._advance_ledger(
-            man, int(epoch_id), ledger_entry
+            man, int(epoch_id), ledger_entry, bundle
         )
+        if bundle.members:
+            self._write_side_json(bundle.rel_path, bundle.members)
         new_man = {
             "version": version,
             "table_uuid": man["table_uuid"],
@@ -858,7 +907,14 @@ class SnapLake:
             .parquet(out_abs)
         )
         new_files = _walk_bucket_files(self.path, out_rel)
-        file_groups = self._advance_file_groups(man, commit_id, bucket_set, new_files)
+        bundle = _SideBundle(
+            os.path.join("metadata", f"commit-{man['table_uuid'][:8]}-{commit_id}.json")
+        )
+        file_groups = self._advance_file_groups(
+            man, commit_id, bucket_set, new_files, bundle
+        )
+        if bundle.members:
+            self._write_side_json(bundle.rel_path, bundle.members)
         new_man = {
             **man,
             "version": version,
@@ -885,23 +941,28 @@ class SnapLake:
         return self.compact(spark, sorted(over))
 
     # ------------------------------------------------------------- expiry
+    @staticmethod
+    def _ref_path(ref) -> str:
+        return ref if isinstance(ref, str) else ref["path"]
+
     def referenced_paths(self, version: int) -> set[str]:
         """Every table-relative path manifest ``version`` depends on to stay
-        readable: its data files, file-group side files, and ledger
-        index+segment chain."""
+        readable: its data files, side bundles holding its file groups, and
+        its ledger index+segment chain."""
         man = self.manifest(version)
         refs: set[str] = set()
         if "files" in man:  # legacy inline list
             refs.update(f["path"] for f in man["files"])
         else:
             for g in man["file_groups"]["groups"].values():
-                refs.add(g["path"])
+                refs.add(self._ref_path(g.get("ref") or g["path"]))
             refs.update(f["path"] for f in self._files(man))
         spill = man.get("ledger_spill") or {}
-        if spill.get("index_path"):
-            refs.add(spill["index_path"])
-            index = _load_side_json(os.path.join(self.path, spill["index_path"]))
-            refs.update(s["path"] for s in index["segments"])
+        idx_ref = self._spill_index_ref(spill)
+        if idx_ref:
+            refs.add(self._ref_path(idx_ref))
+            index = self._resolve_ref(idx_ref)
+            refs.update(self._ref_path(s.get("ref") or s["path"]) for s in index["segments"])
         return refs
 
     def expire_snapshots(self, keep_last: int = 10, vacuum: bool = True) -> dict[str, int]:
@@ -947,7 +1008,7 @@ class SnapLake:
                 rel = os.path.join("metadata", n)
                 if n in keep_names or rel in refs or n.startswith(".HEAD"):
                     continue
-                if n.startswith(("ledger-", "files-")) and n.endswith(".json"):
+                if n.startswith(("commit-", "ledger-", "files-")) and n.endswith(".json"):
                     os.remove(os.path.join(self.meta_dir, n))
                     removed_meta += 1
         return {

@@ -72,7 +72,7 @@ def test_pruning_is_file_granular_within_a_bucket(spark, tmp_path):
         )
         pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
 
-    from cdc_engine.lake import _walk_bucket_files
+    from cdc_engine.lake import _SideBundle, _walk_bucket_files
 
     write_part("c0", day=0)    # Jan 1 file
     write_part("c1", day=30)   # Jan 31 file, SAME bucket
@@ -81,7 +81,11 @@ def test_pruning_is_file_granular_within_a_bucket(spark, tmp_path):
         lake.path, "data/c1"
     )
     assert len(new_files) == 2 and all(f["ts_min"] for f in new_files)
-    groups = lake._advance_file_groups(man, "c01", {0}, new_files)
+    bundle = _SideBundle(
+        os.path.join("metadata", f"commit-{man['table_uuid'][:8]}-c01.json")
+    )
+    groups = lake._advance_file_groups(man, "c01", {0}, new_files, bundle)
+    lake._write_side_json(bundle.rel_path, bundle.members)
     lake._write_manifest({**man, "version": 1, "parent": 0, "file_groups": groups})
 
     lo, hi = base - dt.timedelta(days=1), base + dt.timedelta(days=1)
