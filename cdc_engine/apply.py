@@ -28,6 +28,7 @@ from cdc_engine.dedup import lww_dedup
 from cdc_engine.lake import SnapLake
 from cdc_engine.normalize import apply_mapping
 from cdc_engine.salt import bucket_expr, salted_repartition
+from cdc_engine.timing import phase
 
 
 class LedgerSeqMismatch(RuntimeError):
@@ -111,7 +112,7 @@ def apply_epoch(
     # merge, so the wide html column is never scanned twice.
     n_buckets = man["n_buckets"]
     sp = F.col("source_partition").cast("int") if "source_partition" in df.columns else F.lit(None).cast("int")
-    stats_rows = (
+    stats_query = (
         df.groupBy(sp.alias("pid"))
         .agg(
             F.count("*").alias("rows_seen"),
@@ -122,8 +123,9 @@ def apply_epoch(
             # so a null url would otherwise smuggle in a phantom bucket
             F.collect_set(F.when(valid, bucket_expr("url", n_buckets))).alias("buckets"),
         )
-        .collect()
     )
+    with phase("stats_agg"):
+        stats_rows = stats_query.collect()
     if not stats_rows:
         return None
     seqs_lo = [int(r["first_seq"]) for r in stats_rows if r["first_seq"] is not None]

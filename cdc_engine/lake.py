@@ -79,6 +79,7 @@ from pyspark.sql import types as T
 from cdc_engine.normalize import conform, evolve_schema
 from cdc_engine.salt import bucket_expr
 from cdc_engine.schemas import INTERNAL_DELETED, INTERNAL_SEQ, WAL_META_COLS
+from cdc_engine.timing import phase
 
 # O(1)-metadata knobs (module docstring): inline ledger window, spill chunk,
 # and the bucket-group shard count for the file list. Small values keep the
@@ -666,15 +667,17 @@ class SnapLake:
 
             shutil.rmtree(out_abs)
         nparts = max(1, min(len(touched), spark.sparkContext.defaultParallelism))
-        (
-            result.repartition(nparts, F.col("_bucket"))
-            .sortWithinPartitions("url")
-            .write.mode("errorifexists")
-            .partitionBy("_bucket")
-            .parquet(out_abs)
-        )
+        with phase("data_write"):
+            (
+                result.repartition(nparts, F.col("_bucket"))
+                .sortWithinPartitions("url")
+                .write.mode("errorifexists")
+                .partitionBy("_bucket")
+                .parquet(out_abs)
+            )
 
-        new_files = _walk_bucket_files(self.path, out_rel)
+        with phase("footer_stats"):
+            new_files = _walk_bucket_files(self.path, out_rel)
         if mode == "mor":
             for f in new_files:
                 f["kind"] = "delta"  # append-only; compaction folds
@@ -721,8 +724,9 @@ class SnapLake:
                         F.lit(None).cast("long").alias("rows_late_ignored"),
                         F.coalesce(F.sum("b"), F.lit(0)).alias("bytes"),
                     )
-                    .collect()
                 )
+                with phase("lineage_agg"):
+                    stats = stats.collect()
             else:
                 sp_col = (
                     F.col(f"s.{source_partition_col}").cast("int")
@@ -756,8 +760,9 @@ class SnapLake:
                         F.sum(F.when(F.col("oc") == "late_ignored", 1).otherwise(0)).alias("rows_late_ignored"),
                         F.coalesce(F.sum("b"), F.lit(0)).alias("bytes"),
                     )
-                    .collect()
                 )
+                with phase("lineage_agg"):
+                    stats = stats.collect()
             latency_ms = (time.monotonic() - t0) * 1000.0
             by_pid = {
                 (None if r["pid"] is None else int(r["pid"])): r for r in stats
@@ -815,11 +820,12 @@ class SnapLake:
             "committed_at": datetime.now(timezone.utc).isoformat(),
             "snapshot_id": snapshot_id,
         }
-        inline_ledger, ledger_spill = self._advance_ledger(
-            man, int(epoch_id), ledger_entry, bundle
-        )
-        if bundle.members:
-            self._write_side_json(bundle.rel_path, bundle.members)
+        with phase("commit_meta"):
+            inline_ledger, ledger_spill = self._advance_ledger(
+                man, int(epoch_id), ledger_entry, bundle
+            )
+            if bundle.members:
+                self._write_side_json(bundle.rel_path, bundle.members)
         new_man = {
             "version": version,
             "table_uuid": man["table_uuid"],
@@ -840,7 +846,8 @@ class SnapLake:
             "ledger_spill": ledger_spill,
             "lineage": lineage_rows,
         }
-        self._write_manifest(new_man)
+        with phase("commit_meta"):
+            self._write_manifest(new_man)
         return {
             "version": version,
             "commit_id": commit_id,
