@@ -638,6 +638,131 @@ def q_edit_distance_rescore(spark, sf):
     )
 
 
+def q_cube_pricing(spark, sf):
+    """CUBE grouping sets (every subset of the two keys — completes the
+    grouping-sets family next to rollup_pricing's hierarchy)."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum(_milli(F.col("l_quantity"))).alias("qty_milli"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q_stats_moments_value(spark, sf):
+    """Statistical-moment aggregates (stddev/variance/corr/covar) per
+    event type, milli/micro-quantized so the DuckDB oracle matches on
+    integers. One hash aggregate with map-side combine — scales like any
+    A1 aggregate."""
+    ev = t(spark, sf, "events")
+    uid = F.col("user_id").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.stddev_samp("value") * 1000).cast("long").alias("stddev_milli"),
+            F.round(F.var_samp("value") * 1000).cast("long").alias("var_milli"),
+            F.round(F.corr(F.col("value"), uid) * 1000000).cast("long").alias("corr_micro"),
+            F.round(F.covar_samp(F.col("value"), uid) * 1000).cast("long").alias("covar_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_range_join_clicks(spark, sf):
+    """Event-time RANGE join (J-family widening past as-of): for every
+    purchase, count the same user's clicks in the preceding hour. The join
+    key is the user equi-pair plus a time-interval predicate — Spark plans
+    the equi part as a hash/sort-merge join and applies the range as a
+    post-filter, so it shuffles on user_id, never cross-products. At 100 TB
+    the standard hardening is bucketing both sides by (user_id,
+    time_bucket) so each range probe touches two adjacent buckets."""
+    ev = t(spark, sf, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") < F.col("pts")),
+        "left",
+    )
+    return (
+        j.groupBy("purchase_id", "user_id")
+        .agg(F.count("cts").alias("n_prior_clicks"))
+        .orderBy("purchase_id")
+    )
+
+
+_DENYLIST_RE = r"\b(customer|value|table)\b"
+
+
+def q_denylist_scrub(spark, sf):
+    """Denylist redaction (training-data hygiene): count and replace
+    denylisted terms per document, report the redaction count and the
+    scrubbed length. Pure Catalyst regex — the same shape as a
+    bad-word/PII scrub pass over a webtext corpus (regex chosen to be
+    Java-regex/RE2 portable so the oracle is exact)."""
+    docs = t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_DENYLIST_RE)).cast("int").alias("n_redacted"),
+        F.length(F.regexp_replace(F.col("text"), _DENYLIST_RE, "[TERM]")).cast("int").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+def q_repetition_stats(spark, sf):
+    """Repetition / type-token-ratio quality signal: distinct-token share
+    per document (low TTR = boilerplate/spam — a standard webtext quality
+    filter). Pure Catalyst array ops, no explode, no shuffle."""
+    docs = t(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    total = F.size(toks)
+    distinct = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        total.alias("n_tokens"),
+        distinct.alias("n_distinct_tokens"),
+        F.when(total > 0, F.round(F.lit(1000.0) * distinct / total).cast("long")).alias("ttr_milli"),
+    ).orderBy("doc_id")
+
+
+def q_median_by_type(spark, sf):
+    """Exact interpolated median (percentile) per group — the exact
+    counterpart of approx_quantiles_value's sketch. Exact percentile
+    requires a per-group sort; at 100 TB the approx sketch is the scale
+    path and this is the audit form."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)") * 1000).cast("long").alias("p50_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_neardup_components(spark, sf):
+    """Near-duplicate CLUSTERS (connected components over the
+    LSH->Levenshtein-rescored pair graph): pairs don't partition a corpus,
+    components do — survivorship keeps min(doc_id) per component. The
+    iterative min-label propagation runs distributed joins per round with
+    only a bounded convergence count on the driver (see
+    dedup_text.connected_components for the O(log n) scale variant)."""
+    from cdc_engine.dedup_text import connected_components
+
+    edges = q_edit_distance_rescore(spark, sf)
+    return connected_components(edges, src="da", dst="db")
+
+
 def q_text_extract_invariant(spark, sf):
     """F1, driver-checked: wrap every document text in the fixed html
     envelope, run the REAL extract_text pandas UDF (Arrow, bytes-safe),
@@ -1285,6 +1410,65 @@ ORACLE_SQL: dict[str, str] = {
         WHERE levenshtein(a.p, b.p) <= 16
         ORDER BY da, db
     """,
+    "cube_pricing": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity * 1000) AS BIGINT)) AS BIGINT) AS qty_milli
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "stats_moments_value": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(ROUND(stddev_samp(value) * 1000) AS BIGINT) AS stddev_milli,
+               CAST(ROUND(var_samp(value) * 1000) AS BIGINT) AS var_milli,
+               CAST(ROUND(corr(value, CAST(user_id AS DOUBLE)) * 1000000) AS BIGINT) AS corr_micro,
+               CAST(ROUND(covar_samp(value, CAST(user_id AS DOUBLE)) * 1000) AS BIGINT) AS covar_milli
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "range_join_clicks": """
+        SELECT p.event_id AS purchase_id, p.user_id, COUNT(c.ts) AS n_prior_clicks
+        FROM events p LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2 ORDER BY 1
+    """,
+    "denylist_scrub": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\b(customer|value|table)\\b')) AS INTEGER) AS n_redacted,
+               CAST(length(regexp_replace(text, '\\b(customer|value|table)\\b', '[TERM]', 'g')) AS INTEGER) AS clean_len
+        FROM documents ORDER BY doc_id
+    """,
+    "repetition_stats": """
+        WITH tk AS (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                    FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(ROUND(1000.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT)
+                    ELSE NULL END AS ttr_milli
+        FROM tk ORDER BY doc_id
+    """,
+    "median_by_type": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(ROUND(quantile_cont(value, 0.5) * 1000) AS BIGINT) AS p50_milli
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "neardup_components": """
+        WITH RECURSIVE {LSH},
+        pre AS (SELECT doc_id, substring(text, 1, 64) AS p FROM documents),
+        edge AS (SELECT c.da, c.db
+                 FROM cand c JOIN pre a ON c.da = a.doc_id JOIN pre b ON c.db = b.doc_id
+                 WHERE levenshtein(a.p, b.p) <= 16),
+        und AS (SELECT da AS a, db AS b FROM edge UNION SELECT db AS a, da AS b FROM edge),
+        reach(s, n) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT r.s, u.b FROM reach r JOIN und u ON r.n = u.a
+        )
+        SELECT s AS node, MIN(n) AS component FROM reach GROUP BY s ORDER BY node
+    """,
     "text_extract_invariant": """
         SELECT COUNT(*) AS n_docs,
                CAST(SUM(CASE WHEN text IS NULL THEN 0
@@ -1357,25 +1541,39 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
-for _k in ("lsh_candidates", "jaccard_on_lsh", "edit_distance_rescore"):
+for _k in ("lsh_candidates", "jaccard_on_lsh", "edit_distance_rescore", "neardup_components"):
     ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{LSH}", _LSH_CTES)
 
 # Dict ORDER is deliberate: the round-2 driver recorded exactly the first 50
-# entries (all 55 existed at the snapshot commit), i.e. the harness caps at
-# 50 rows. Head = the flagship end-to-end replay plus the four entries that
-# therefore had no round-2 driver row. Tail = the five entries chosen to
-# absorb the cap, each with a reason it loses the least evidence:
+# entries, i.e. the harness caps at 50 rows. Head = the flagship end-to-end
+# replay, the round-3 additions (no driver row yet), then everything else.
+# Tail = the twelve entries chosen to absorb the cap, each with a reason it
+# loses the least evidence:
 #   * scalar_url_extract    — string-scalar family keeps driver rows via
-#                             doc_fingerprints / token_counts / lang_id
+#                             doc_fingerprints / lang_id / denylist_scrub
 #   * time_bucket_hourly    — date_trunc bucketing exercised driver-side by
-#                             pivot_daily_event_types + sliding_window_counts
+#                             pivot_daily_event_types + session_windows
 #   * lag_gap_audit         — lag() exercised driver-side inside
 #                             session_windows (gaps-and-islands)
 #   * approx_quantiles_value— sketch-vs-band family keeps approx_distinct_users;
 #                             its oracle is a constant-band check anyway
 #   * ngram_jaccard         — the exhaustive audit form; jaccard_on_lsh is the
 #                             production (scaled) path and stays driver-checked
-# All 55 remain covered by the local dtype-sensitive DuckDB mirror
+#   * dedup_exact_stats     — exact-dedup family keeps dedup_canonical_map
+#                             (the survivorship map subsumes the count stats)
+#   * lsh_candidates        — jaccard_on_lsh re-runs the identical CTE chain
+#                             and scores it; the candidate join stays checked
+#   * token_counts          — tokenization stays driver-checked through
+#                             repetition_stats (same split-and-filter expr)
+#   * winnow_fingerprints   — fingerprint family keeps doc_fingerprints;
+#                             winnowing keeps tests/test_winnow.py
+#   * stratified_sample     — sampling family keeps dataset_splits (same
+#                             md5 per-mille mechanism)
+#   * simsearch_brute_topk  — exact cosine scoring stays driver-checked
+#                             inside ann_ivf_query_topk (probed subset)
+#   * sliding_window_counts — windowed-time family keeps session_windows +
+#                             pivot_daily_event_types
+# All 62 remain covered by the local dtype-sensitive DuckDB mirror
 # (tests/test_contract.py) regardless of the driver cap.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_replay_mini": q_cdc_replay_mini,
@@ -1385,6 +1583,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only (no SQL-expressible oracle): mapInPandas feature plumbing
     # over a stubbed decoder — nothing DuckDB could recompute byte-level
     "multimodal_features_stub": q_multimodal_features_stub,
+    # ---- round-3 additions (head so they get driver rows) ----------------
+    "cube_pricing": q_cube_pricing,
+    "stats_moments_value": q_stats_moments_value,
+    "range_join_clicks": q_range_join_clicks,
+    "denylist_scrub": q_denylist_scrub,
+    "repetition_stats": q_repetition_stats,
+    "median_by_type": q_median_by_type,
+    "neardup_components": q_neardup_components,
     "lww_dedup_latest": q_lww_dedup_latest,
     "cdc_final_state": q_cdc_final_state,
     "cdc_merge_outcomes": q_cdc_merge_outcomes,
@@ -1397,7 +1603,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_schema_merge": q_union_schema_merge,
     "except_diff": q_except_diff,
     "intersect_users": q_intersect_users,
-    "sliding_window_counts": q_sliding_window_counts,
     "session_windows": q_session_windows,
     "json_props_extract": q_json_props_extract,
     "pivot_daily_event_types": q_pivot_daily_event_types,
@@ -1411,24 +1616,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_pricing": q_rollup_pricing,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "window_rank_sources": q_window_rank_sources,
-    "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_canonical_map": q_dedup_canonical_map,
     "minhash_signatures": q_minhash_signatures,
-    "lsh_candidates": q_lsh_candidates,
     "jaccard_on_lsh": q_jaccard_on_lsh,
     "edit_distance_rescore": q_edit_distance_rescore,
-    "simsearch_brute_topk": q_simsearch_brute_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_query_topk": q_ann_ivf_query_topk,
     "ann_srp_buckets": q_ann_srp_buckets,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
-    "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
-    "winnow_fingerprints": q_winnow_fingerprints,
     "text_extract_invariant": q_text_extract_invariant,
     "dataset_splits": q_dataset_splits,
-    "stratified_sample": q_stratified_sample,
     "multimodal_blob_meta": q_multimodal_blob_meta,
     # ---- deliberate tail under the 50-row driver cap (see header) --------
     "scalar_url_extract": q_scalar_url_extract,
@@ -1436,4 +1635,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lag_gap_audit": q_lag_gap_audit,
     "approx_quantiles_value": q_approx_quantiles_value,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "lsh_candidates": q_lsh_candidates,
+    "token_counts": q_token_counts,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "stratified_sample": q_stratified_sample,
+    "simsearch_brute_topk": q_simsearch_brute_topk,
+    "sliding_window_counts": q_sliding_window_counts,
 }

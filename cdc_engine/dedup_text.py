@@ -250,3 +250,58 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node repeatedly adopts the smallest label among
+    itself and its neighbors until a fixpoint. Returns (node, component)
+    where component is the minimum node id reachable from the node.
+
+    This is THE missing piece between near-dup pair generation (LSH ->
+    rescore) and survivorship: duplicate PAIRS don't partition a corpus,
+    duplicate CLUSTERS do — keep min(doc_id) per component, drop the rest.
+
+    Scale notes: each round is one join + one min-aggregate, both shuffling
+    on the node id — rounds = graph diameter. Near-dup graphs are
+    overwhelmingly tiny cliques/stars (diameter 1-2), so 3-4 rounds close
+    them; the adversarial long-path case is bounded by ``max_iter`` and at
+    true web scale the round count is cut to O(log n) with the
+    large-star/small-star transform [Kiveris et al., "Connected Components
+    in MapReduce and Beyond"], which swaps this loop's propagation step for
+    alternating star contractions over the same (join + min-agg) plan. The
+    per-round driver work here is ONE bounded count (the convergence
+    check), never a row collect.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    lab = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .persist()
+    )
+    lab.count()  # materialize before the loop re-derives `und` each round
+    for _ in range(max_iter):
+        msgs = und.join(lab, und["a"] == lab["node"]).select(
+            F.col("b").alias("node"), "component"
+        )
+        new = (
+            lab.union(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        lab.unpersist()
+        lab = new
+        if changed == 0:
+            return lab.orderBy("node")
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
