@@ -138,6 +138,22 @@ def main() -> None:
         )
         timings["edit_distance_rescore"] = round(time.monotonic() - t0, 3)
 
+        # cluster the rescored pairs: the last stage of the production
+        # near-dup path (pairs -> components -> survivorship)
+        from cdc_engine.dedup_text import connected_components
+
+        t0 = time.monotonic()
+        edges = (
+            cand.join(a, F.col("da") == F.col("a.doc_id"))
+            .join(b, F.col("db") == F.col("b.doc_id"))
+            .select("da", "db", F.levenshtein(F.col("a.p"), F.col("b.p")).alias("prefix_edit"))
+            .where(F.col("prefix_edit") <= 16)
+        )
+        connected_components(edges, src="da", dst="db").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["neardup_components"] = round(time.monotonic() - t0, 3)
+
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
