@@ -8,6 +8,14 @@ The headline workload is the engine itself: a seed-deterministic CDC WAL
 (derived from this sf's documents) replayed tail->commit through LWW dedup
 and bucketed MERGE; plus the heaviest contract queries. The two-cluster-size
 scaling evidence lives in bench/run.py -> BENCH/BASELINE.md.
+
+Each measured step runs $SPARK_GRAFT_BENCH_TRIALS times (default 2) and
+reports the MIN wall: this sandbox VM's hypervisor stalls whole cores for
+tens of seconds at a time (measured: byte-identical runs walling 13s /
+17s / 66s — see BENCH/ANALYSIS_r3.md), and a single stall landing inside
+a single-shot measurement would otherwise be recorded as the engine's
+number for the round. Min-over-trials is the same estimator bench/run.py
+already uses for the scaling criterion.
 """
 
 from __future__ import annotations
@@ -26,6 +34,7 @@ from cdc_engine.session import build_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "200000"))
 EVENTS_PER_EPOCH = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCH", "50000"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
 
 
 def _sf_tag(sf_dir: str) -> float:
@@ -52,13 +61,101 @@ def _gen_wal(tmp: str) -> str:
     return wal
 
 
-def main() -> None:
+def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
+    """One full pass over every measured step; fresh lake dirs per trial."""
+    from pyspark.sql import functions as F
+
     from cdc_engine import CdcConfig, SnapLake, replay
     from cdc_engine.contract import QUERIES
+    from cdc_engine.dedup_text import (
+        connected_components,
+        jaccard_on_lsh,
+        lsh_candidate_pairs,
+    )
+    from cdc_engine.schemas import PAGES_SCHEMA_V1
+
+    t: dict[str, float] = {}
+    cfg = CdcConfig(events_per_epoch=EVENTS_PER_EPOCH, n_buckets=32)
+
+    t0 = time.monotonic()
+    lake = SnapLake.create(os.path.join(tmp, f"lake_t{trial}"), PAGES_SCHEMA_V1, n_buckets=32)
+    replay(spark, lake, wal, cfg)
+    t["cdc_ingest"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    mor = SnapLake.create(
+        os.path.join(tmp, f"lake_mor_t{trial}"), PAGES_SCHEMA_V1, n_buckets=32, mode="mor"
+    )
+    replay(spark, mor, wal, cfg)
+    t["cdc_ingest_mor"] = round(time.monotonic() - t0, 3)
+    assert mor.state_hash(spark) == lake.state_hash(spark), "mode changed result!"
+
+    headline = [
+        "lww_dedup_latest",
+        "cdc_merge_outcomes",
+        "tpch_q1_pricing",
+        "tpch_q3_topk",
+        "tpch_q5_region",
+        "broadcast_dim_join",
+        "running_window",
+        "minhash_signatures",
+        "simsearch_brute_topk",
+        "ann_ivf_assign",
+        "quality_scores",
+        "simhash_fingerprints",
+        "ann_srp_buckets",
+    ]
+    for name in headline:
+        t0 = time.monotonic()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        t[name] = round(time.monotonic() - t0, 3)
+
+    # Production near-dup path (round-2 verdict task 9), timed at the
+    # PRODUCTION banding (k=24, band_rows=8), not the contract's (8,2):
+    # the synthetic sf0.1 documents are pathologically self-similar
+    # (4992 unique texts drawn from a small template pool), so (8,2)
+    # makes ~85% of all 12.5M pairs candidates and exact scoring
+    # degenerates to near-all-pairs (~95s) — a data property, not an
+    # operator property. (24,8) still yields 2.8M candidate pairs (23%
+    # of all pairs), so these rows measure candidate-bounded exact
+    # scoring throughput on a worst-case-similarity corpus. The (8,2)
+    # form stays hash-checked by the contract at sf0.01.
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.monotonic()
+    jaccard_on_lsh(docs, k=24, band_rows=8, threshold_milli=900).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t["jaccard_on_lsh"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    cand = lsh_candidate_pairs(docs, k=24, band_rows=8)
+    pre = docs.select("doc_id", F.substring("text", 1, 64).alias("p"))
+    a, b = pre.alias("a"), pre.alias("b")
+    rescored = (
+        cand.join(a, F.col("da") == F.col("a.doc_id"))
+        .join(b, F.col("db") == F.col("b.doc_id"))
+        .select("da", "db", F.levenshtein(F.col("a.p"), F.col("b.p")).alias("prefix_edit"))
+        .where(F.col("prefix_edit") <= 16)
+    )
+    rescored.write.format("noop").mode("overwrite").save()
+    t["edit_distance_rescore"] = round(time.monotonic() - t0, 3)
+
+    # cluster the rescored pairs: the last stage of the production
+    # near-dup path (pairs -> components -> survivorship)
+    t0 = time.monotonic()
+    connected_components(rescored, src="da", dst="db").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t["neardup_components"] = round(time.monotonic() - t0, 3)
+    return t
+
+
+def main() -> None:
+    from cdc_engine import CdcConfig, SnapLake, replay
     from cdc_engine.schemas import PAGES_SCHEMA_V1
 
     tmp = tempfile.mkdtemp(prefix="cdc_bench_")
-    timings: dict[str, float] = {}
     try:
         wal = _gen_wal(tmp)  # generation excluded from timing
         spark = build_session(
@@ -70,89 +167,10 @@ def main() -> None:
         warm = SnapLake.create(os.path.join(tmp, "lake_warm"), PAGES_SCHEMA_V1, n_buckets=32)
         replay(spark, warm, wal, CdcConfig(events_per_epoch=EVENTS_PER_EPOCH, n_buckets=32), max_epochs=1)
 
-        t0 = time.monotonic()
-        lake = SnapLake.create(os.path.join(tmp, "lake"), PAGES_SCHEMA_V1, n_buckets=32)
-        replay(spark, lake, wal, CdcConfig(events_per_epoch=EVENTS_PER_EPOCH, n_buckets=32))
-        timings["cdc_ingest"] = round(time.monotonic() - t0, 3)
-
-        t0 = time.monotonic()
-        mor = SnapLake.create(os.path.join(tmp, "lake_mor"), PAGES_SCHEMA_V1, n_buckets=32, mode="mor")
-        replay(spark, mor, wal, CdcConfig(events_per_epoch=EVENTS_PER_EPOCH, n_buckets=32))
-        timings["cdc_ingest_mor"] = round(time.monotonic() - t0, 3)
-        assert mor.state_hash(spark) == lake.state_hash(spark), "mode changed result!"
-
-        headline = [
-            "lww_dedup_latest",
-            "cdc_merge_outcomes",
-            "tpch_q1_pricing",
-            "tpch_q3_topk",
-            "tpch_q5_region",
-            "broadcast_dim_join",
-            "running_window",
-            "minhash_signatures",
-            "simsearch_brute_topk",
-            "ann_ivf_assign",
-            "quality_scores",
-            "simhash_fingerprints",
-            "ann_srp_buckets",
-        ]
-        for name in headline:
-            t0 = time.monotonic()
-            df = QUERIES[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.monotonic() - t0, 3)
-
-        # Production near-dup path (round-2 verdict task 9), timed at the
-        # PRODUCTION banding (k=24, band_rows=8), not the contract's (8,2):
-        # the synthetic sf0.1 documents are pathologically self-similar
-        # (4992 unique texts drawn from a small template pool), so (8,2)
-        # makes ~85% of all 12.5M pairs candidates and exact scoring
-        # degenerates to near-all-pairs (~95s) — a data property, not an
-        # operator property. (24,8) still yields 2.8M candidate pairs (23%
-        # of all pairs), so these rows measure candidate-bounded exact
-        # scoring throughput on a worst-case-similarity corpus. The (8,2)
-        # form stays hash-checked by the contract at sf0.01.
-        from pyspark.sql import functions as F
-
-        from cdc_engine.dedup_text import jaccard_on_lsh, lsh_candidate_pairs
-
-        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-        t0 = time.monotonic()
-        jaccard_on_lsh(docs, k=24, band_rows=8, threshold_milli=900).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        timings["jaccard_on_lsh"] = round(time.monotonic() - t0, 3)
-
-        t0 = time.monotonic()
-        cand = lsh_candidate_pairs(docs, k=24, band_rows=8)
-        pre = docs.select("doc_id", F.substring("text", 1, 64).alias("p"))
-        a, b = pre.alias("a"), pre.alias("b")
-        (
-            cand.join(a, F.col("da") == F.col("a.doc_id"))
-            .join(b, F.col("db") == F.col("b.doc_id"))
-            .select("da", "db", F.levenshtein(F.col("a.p"), F.col("b.p")).alias("prefix_edit"))
-            .where(F.col("prefix_edit") <= 16)
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        timings["edit_distance_rescore"] = round(time.monotonic() - t0, 3)
-
-        # cluster the rescored pairs: the last stage of the production
-        # near-dup path (pairs -> components -> survivorship)
-        from cdc_engine.dedup_text import connected_components
-
-        t0 = time.monotonic()
-        edges = (
-            cand.join(a, F.col("da") == F.col("a.doc_id"))
-            .join(b, F.col("db") == F.col("b.doc_id"))
-            .select("da", "db", F.levenshtein(F.col("a.p"), F.col("b.p")).alias("prefix_edit"))
-            .where(F.col("prefix_edit") <= 16)
-        )
-        connected_components(edges, src="da", dst="db").write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings["neardup_components"] = round(time.monotonic() - t0, 3)
+        timings: dict[str, float] = {}
+        for trial in range(TRIALS):
+            for k, v in _run_trial(spark, tmp, wal, trial).items():
+                timings[k] = v if k not in timings else min(timings[k], v)
 
         total = round(sum(timings.values()), 3)
         print(
@@ -164,6 +182,7 @@ def main() -> None:
                     "queries": timings,
                     "sf": _sf_tag(SF_DIR),
                     "events": N_EVENTS,
+                    "trials": TRIALS,
                     "events_per_sec_cow": round(N_EVENTS / timings["cdc_ingest"], 1),
                     "events_per_sec_mor": round(N_EVENTS / timings["cdc_ingest_mor"], 1),
                 }
