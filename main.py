@@ -19,6 +19,9 @@ Subcommands:
     compact  — fold merge-on-read delta files back into base files
     expire   — expire old snapshots + vacuum unreferenced files
     status   — print snapshot version, ledger range, file/bucket stats
+    neardup  — near-duplicate survivorship over a documents parquet
+               (LSH -> exact Jaccard -> connected components -> keep
+               min doc_id per cluster)
 """
 
 from __future__ import annotations
@@ -97,18 +100,31 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("status")
     common(p)
 
+    # near-dup survivorship over a documents table (the training-data
+    # pipeline side of the engine): LSH candidates -> exact Jaccard ->
+    # connected components -> keep min(doc_id) per cluster
+    p = sub.add_parser("neardup")
+    p.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
+    p.add_argument("--out", required=True, help="output parquet of surviving docs")
+    p.add_argument("--k", type=int, default=24, help="minhash signature length")
+    p.add_argument("--band-rows", type=int, default=8, help="rows per LSH band")
+    p.add_argument("--threshold-milli", type=int, default=900,
+                   help="near-dup Jaccard threshold in 1/1000 units")
+    p.add_argument("--master", default=None)
+
     args = ap.parse_args(argv)
     spark = build_session(f"cdc_engine-{args.cmd}", master=args.master)
-    cfg = CdcConfig(
-        events_per_epoch=args.events_per_epoch,
-        n_buckets=args.n_buckets,
-        compact_after_files=args.compact_after_files,
-        quarantine_dir=(
-            args.quarantine_dir
-            if args.quarantine_dir is not None
-            else os.path.join(args.lake, "quarantine")
-        ),
-    )
+    if args.cmd != "neardup":
+        cfg = CdcConfig(
+            events_per_epoch=args.events_per_epoch,
+            n_buckets=args.n_buckets,
+            compact_after_files=args.compact_after_files,
+            quarantine_dir=(
+                args.quarantine_dir
+                if args.quarantine_dir is not None
+                else os.path.join(args.lake, "quarantine")
+            ),
+        )
 
     if args.cmd == "ingest":
         lake = _lake(args)
@@ -135,6 +151,30 @@ def main(argv: list[str] | None = None) -> None:
         lake = SnapLake(args.lake)
         r = lake.expire_snapshots(keep_last=args.keep_last, vacuum=not args.no_vacuum)
         print(json.dumps(r))
+    elif args.cmd == "neardup":
+        from pyspark.sql import functions as F
+
+        from cdc_engine.dedup_text import connected_components, jaccard_on_lsh
+
+        docs = spark.read.parquet(args.docs)
+        pairs = jaccard_on_lsh(
+            docs, k=args.k, band_rows=args.band_rows,
+            threshold_milli=args.threshold_milli,
+        )
+        comps = connected_components(pairs, src="da", dst="db")
+        dropped = comps.where(F.col("node") != F.col("component"))
+        survivors = docs.join(
+            dropped, docs["doc_id"] == dropped["node"], "left_anti"
+        )
+        survivors.write.mode("errorifexists").parquet(args.out)
+        n_docs = docs.count()
+        n_out = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "docs_in": n_docs,
+            "survivors": n_out,
+            "dropped": n_docs - n_out,
+            "clusters": comps.select("component").distinct().count(),
+        }))
     elif args.cmd == "status":
         lake = SnapLake(args.lake)
         man = lake.manifest()
