@@ -750,6 +750,21 @@ def q_median_by_type(spark, sf):
     )
 
 
+def q_vocab_df_topk(spark, sf):
+    """Document-frequency vocabulary top-k (corpus vocab building)."""
+    from cdc_engine.textops import vocab_df_topk
+
+    return vocab_df_topk(t(spark, sf, "documents"), k=20)
+
+
+def q_boilerplate_share(spark, sf):
+    """Cross-document boilerplate share per doc (shingle-level CCNet-style
+    paragraph-dedup signal)."""
+    from cdc_engine.textops import boilerplate_share
+
+    return boilerplate_share(t(spark, sf, "documents"), k=5, min_df=2)
+
+
 def q_neardup_components(spark, sf):
     """Near-duplicate CLUSTERS (connected components over the
     LSH->Levenshtein-rescored pair graph): pairs don't partition a corpus,
@@ -1455,6 +1470,41 @@ ORACLE_SQL: dict[str, str] = {
                CAST(ROUND(quantile_cont(value, 0.5) * 1000) AS BIGINT) AS p50_milli
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "vocab_df_topk": """
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_distinct(list_filter(
+                                string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> ''))) AS w
+                     FROM documents)
+        SELECT w, COUNT(*) AS df FROM tok
+        GROUP BY w ORDER BY df DESC, w ASC LIMIT 20
+    """,
+    "boilerplate_share": """
+        WITH b AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(toks) >= 5
+                          THEN list_transform(range(1, len(toks) - 5 + 2),
+                               i -> ('0x' || substring(md5(array_to_string(
+                                    list_slice(toks, i, i + 4), ' ')), 1, 12))::BIGINT)
+                          ELSE CAST([] AS BIGINT[]) END AS hashes
+              FROM b),
+        shing AS (SELECT doc_id, unnest(list_distinct(hashes)) AS sh FROM g),
+        dfc AS (SELECT sh, COUNT(*) AS df FROM shing GROUP BY sh),
+        per AS (SELECT s.doc_id, COUNT(*) AS n_shingles,
+                       CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+                FROM shing s JOIN dfc ON s.sh = dfc.sh GROUP BY s.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+               CASE WHEN per.n_shingles > 0
+                    THEN CAST(ROUND(1000.0 * per.n_boiler / per.n_shingles) AS BIGINT)
+                    END AS boiler_milli
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        ORDER BY d.doc_id
+    """,
     "neardup_components": """
         WITH RECURSIVE {LSH},
         pre AS (SELECT doc_id, substring(text, 1, 64) AS p FROM documents),
@@ -1573,7 +1623,11 @@ for _k in ("lsh_candidates", "jaccard_on_lsh", "edit_distance_rescore", "neardup
 #                             inside ann_ivf_query_topk (probed subset)
 #   * sliding_window_counts — windowed-time family keeps session_windows +
 #                             pivot_daily_event_types
-# All 62 remain covered by the local dtype-sensitive DuckDB mirror
+#   * minhash_signatures    — jaccard_on_lsh re-runs the signature CTE
+#                             bit-for-bit as its candidate stage
+#   * ann_srp_buckets       — embedding_neardup_pairs reuses srp_buckets
+#                             verbatim as its blocking key (same oracle CTE)
+# All 64 remain covered by the local dtype-sensitive DuckDB mirror
 # (tests/test_contract.py) regardless of the driver cap.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_replay_mini": q_cdc_replay_mini,
@@ -1591,6 +1645,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "median_by_type": q_median_by_type,
     "neardup_components": q_neardup_components,
+    "vocab_df_topk": q_vocab_df_topk,
+    "boilerplate_share": q_boilerplate_share,
     "lww_dedup_latest": q_lww_dedup_latest,
     "cdc_final_state": q_cdc_final_state,
     "cdc_merge_outcomes": q_cdc_merge_outcomes,
@@ -1617,12 +1673,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "window_rank_sources": q_window_rank_sources,
     "dedup_canonical_map": q_dedup_canonical_map,
-    "minhash_signatures": q_minhash_signatures,
     "jaccard_on_lsh": q_jaccard_on_lsh,
     "edit_distance_rescore": q_edit_distance_rescore,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_query_topk": q_ann_ivf_query_topk,
-    "ann_srp_buckets": q_ann_srp_buckets,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1642,4 +1696,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "simsearch_brute_topk": q_simsearch_brute_topk,
     "sliding_window_counts": q_sliding_window_counts,
+    "minhash_signatures": q_minhash_signatures,
+    "ann_srp_buckets": q_ann_srp_buckets,
 }

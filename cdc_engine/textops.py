@@ -131,3 +131,66 @@ def winnow_fingerprint(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
             "fp_hash"
         ),
     ).orderBy("doc_id")
+
+
+def vocab_df_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Document-frequency vocabulary: the k tokens present in the most
+    documents (ties broken by token asc — deterministic). The first step
+    of corpus vocab building / stopword induction. One explode over
+    within-doc-distinct tokens (array_distinct in-row, so the exploded
+    relation is already (doc, token)-unique without a distinct shuffle),
+    one hash aggregate, then a top-k over the small vocab aggregate."""
+    tok = docs.select(F.explode(F.array_distinct(tokens_expr())).alias("w"))
+    return (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("w").asc())
+        .limit(k)
+    )
+
+
+def boilerplate_share(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
+    """Per-document share of distinct k-gram shingles that also occur in
+    >= min_df documents — the shingle-granularity form of CCNet-style
+    cross-document paragraph dedup (synthetic docs have no paragraph
+    breaks, so the unit is the k-gram): a high share marks boilerplate.
+
+    Shape: in-row k-gram hashing (same md5 expressions as
+    winnow_fingerprint), one explode of within-doc-distinct shingles, a
+    document-frequency aggregate, then a join back — every step keyed on
+    the shingle hash, so it scales like exact dedup, not like a pairwise
+    comparison."""
+    empty_i = F.expr("cast(array() as array<int>)")
+    toks = tokens_expr()
+    n = F.size(toks)
+    gram_idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(empty_i)
+    hashes = F.transform(
+        gram_idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 12), 16, 10
+        ).cast("long"),
+    )
+    shing = docs.select("doc_id", F.explode(F.array_distinct(hashes)).alias("sh"))
+    dfc = shing.groupBy("sh").agg(F.count("*").alias("df"))
+    per = (
+        shing.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0)).cast("long").alias("n_boiler"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0).cast("long")).alias("n_shingles"),
+            F.coalesce(F.col("n_boiler"), F.lit(0).cast("long")).alias("n_boiler"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.lit(1000.0) * F.col("n_boiler") / F.col("n_shingles")).cast("long"),
+            ).alias("boiler_milli"),
+        )
+        .orderBy("doc_id")
+    )
