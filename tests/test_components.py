@@ -38,3 +38,36 @@ def test_only_edge_nodes_appear(spark):
 def test_string_node_ids(spark):
     got = _cc(spark, [("doc_b", "doc_c"), ("doc_a", "doc_b")])
     assert got == {"doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a"}
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min node reachable = union-find root under min-merge
+    return {n: find(n) for n in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Seeded random graphs vs a driver-side union-find reference."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n_nodes = rng.randint(5, 30)
+        n_edges = rng.randint(3, 40)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        assert _cc(spark, edges) == _union_find(edges), f"trial {trial}: {edges}"
