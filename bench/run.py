@@ -238,7 +238,17 @@ def main() -> None:
     # ceiling-gated criterion median: only sessions where the host's own
     # pure-CPU ceiling was >= 0.85 — hours in which a raw 0.8 pass is
     # physically possible — and only sessions of the CURRENT engine code
-    cur = [s for s in history if s.get("round", "r2") == a.round]
+    # r3 and r3b are the SAME benched engine (the r3b batch pinned the
+    # ingest-path modules at the r3 state; see BENCH/PREREG_r3.md), so the
+    # criterion pools them — "current engine" is an engine generation, not
+    # a session tag
+    _engine_gen = {"r3": "r3", "r3b": "r3"}
+    this_gen = _engine_gen.get(a.round, a.round)
+    cur = [
+        s
+        for s in history
+        if _engine_gen.get(s.get("round", "r2"), s.get("round", "r2")) == this_gen
+    ]
     gated = [s for s in cur if s["hw"] >= 0.85]
     med_gated = median([s["mor_raw"] for s in gated]) if gated else None
     med_gated_all = median(
@@ -350,7 +360,8 @@ i.e. hours in which a raw 0.8 pass was physically possible at all)
 normalized {med_mor_n:.3f}, COW raw {med_cow:.3f}.**
 
 **Criterion headline — ceiling-gated median over current-engine
-({a.round}) qualifying sessions ({len(gated)} of {len(cur)}):
+({this_gen} generation, incl. its pre-registered session batches)
+qualifying sessions ({len(gated)} of {len(cur)}):
 MoR raw {'n/a (no qualifying session yet)' if med_gated is None else f'{med_gated:.3f}'}**
 (all-rounds ceiling-gated median:
 {'n/a' if med_gated_all is None else f'{med_gated_all:.3f}'}).
