@@ -106,27 +106,45 @@ def apply_epoch(
     # the raw batch: per-source-partition input stats (ledger/lineage must
     # record the FULL consumed offset range — including quarantined rows —
     # S6/S7), emptiness, quarantine counts, and the set of touched lake
-    # buckets (saves merge a separate distinct-buckets job). Deliberately
-    # NARROW: seq, source_partition, validity and the url hash only —
-    # lineage byte accounting comes from the cached deduped winners inside
-    # merge, so the wide html column is never scanned twice.
+    # buckets (saves merge a separate distinct-buckets job). In COW/eager
+    # mode it is deliberately NARROW (seq, source_partition, validity, url
+    # hash — lineage bytes come later off the cached deduped winners). In
+    # deferred-MoR mode the batch IS the delta, so the merge-side lineage
+    # aggregate collapses into THIS job (upsert/delete split + byte sum),
+    # removing one Spark job barrier per epoch; the batch is persisted
+    # FIRST so this aggregate doubles as the cache materialization the
+    # write job then reads.
     n_buckets = man["n_buckets"]
+    mor_deferred = man.get("mode", "cow") == "mor" and not cfg.mor_write_dedup
+    persisted = None
+    if mor_deferred:
+        df = df.persist()
+        persisted = df
     sp = F.col("source_partition").cast("int") if "source_partition" in df.columns else F.lit(None).cast("int")
-    stats_query = (
-        df.groupBy(sp.alias("pid"))
-        .agg(
-            F.count("*").alias("rows_seen"),
-            F.sum(F.when(valid, 0).otherwise(1)).alias("rows_quarantined"),
-            F.min("seq").alias("first_seq"),
-            F.max("seq").alias("last_seq"),
-            # bucket only for valid rows: xxhash64(NULL) is the seed (42),
-            # so a null url would otherwise smuggle in a phantom bucket
-            F.collect_set(F.when(valid, bucket_expr("url", n_buckets))).alias("buckets"),
+    aggs = [
+        F.count("*").alias("rows_seen"),
+        F.sum(F.when(valid, 0).otherwise(1)).alias("rows_quarantined"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+        # bucket only for valid rows: xxhash64(NULL) is the seed (42),
+        # so a null url would otherwise smuggle in a phantom bucket
+        F.collect_set(F.when(valid, bucket_expr("url", n_buckets))).alias("buckets"),
+    ]
+    if mor_deferred:
+        blen = (
+            F.octet_length("html") if "html" in df.columns else F.lit(None).cast("int")
         )
-    )
+        aggs += [
+            F.sum(F.when(valid & (F.col("op") != "delete"), 1).otherwise(0)).alias("rows_upserted"),
+            F.sum(F.when(valid & (F.col("op") == "delete"), 1).otherwise(0)).alias("rows_deleted"),
+            F.coalesce(F.sum(F.when(valid, blen)), F.lit(0)).cast("long").alias("bytes"),
+        ]
+    stats_query = df.groupBy(sp.alias("pid")).agg(*aggs)
     with phase("stats_agg"):
         stats_rows = stats_query.collect()
     if not stats_rows:
+        if persisted is not None:
+            persisted.unpersist()
         return None
     seqs_lo = [int(r["first_seq"]) for r in stats_rows if r["first_seq"] is not None]
     seqs_hi = [int(r["last_seq"]) for r in stats_rows if r["last_seq"] is not None]
@@ -134,6 +152,8 @@ def apply_epoch(
         # streaming re-delivery: verify contents before honoring the skip
         if seqs_lo and seqs_hi:
             _verify_ledger_hit(entry, epoch_id, (min(seqs_lo), max(seqs_hi)), None)
+        if persisted is not None:
+            persisted.unpersist()
         return None
     input_stats = [
         {
@@ -157,6 +177,8 @@ def apply_epoch(
             )
         df = df.where(valid)
     if not touched:
+        if persisted is not None:
+            persisted.unpersist()
         return None  # every row was quarantined; nothing to commit
 
     # W1: one row per url — MUST precede a COW merge (multiple source
@@ -164,8 +186,20 @@ def apply_epoch(
     # nondeterministic; SURVEY.md §4 inv. 1). A MoR delta tolerates
     # multiplicity (scan-collapse is the LWW judge), so cfg.mor_write_dedup
     # = False skips the dedup shuffle entirely on the write path.
-    mor_deferred = man.get("mode", "cow") == "mor" and not cfg.mor_write_dedup
-    if not mor_deferred:
+    mor_lineage_stats = None
+    if mor_deferred:
+        # lineage already aggregated in the combined stats job above
+        mor_lineage_stats = [
+            {
+                "pid": None if r["pid"] is None else int(r["pid"]),
+                "rows_upserted": int(r["rows_upserted"]),
+                "rows_deleted": int(r["rows_deleted"]),
+                "rows_late_ignored": None,  # deferred to scan-time collapse
+                "bytes": int(r["bytes"]),
+            }
+            for r in stats_rows
+        ]
+    else:
         df = lww_dedup(
             df,
             key="url",
@@ -180,12 +214,17 @@ def apply_epoch(
     if cfg.repartition_urls:
         df = salted_repartition(df, "url", cfg.repartition_urls)
 
-    # cache the deduped batch: the merge's write job and its lineage stats
-    # job both consume it (otherwise dedup's shuffle re-runs per job)
-    df = df.persist()
+    # cache the batch: in eager/COW mode the merge's write job and its
+    # lineage stats job both consume the deduped winners (otherwise the
+    # dedup shuffle re-runs per job); in deferred-MoR mode the raw batch
+    # was persisted before the combined stats job materialized it
+    if persisted is None:
+        df = df.persist()
+        persisted = df
     try:
         return lake.merge(
-            spark, df, epoch_id, input_stats=input_stats, touched_buckets=touched
+            spark, df, epoch_id, input_stats=input_stats, touched_buckets=touched,
+            mor_lineage_stats=mor_lineage_stats,
         )
     finally:
-        df.unpersist()
+        persisted.unpersist()

@@ -572,6 +572,7 @@ class SnapLake:
         collect_lineage: bool = True,
         input_stats: list[dict] | None = None,
         touched_buckets: list[int] | None = None,
+        mor_lineage_stats: list[dict] | None = None,
     ) -> dict[str, Any] | None:
         """CDC-apply one deduped micro-batch (S4/J1). Returns commit stats,
         or None when ``epoch_id`` is already in the ledger (idempotence, J4).
@@ -584,6 +585,11 @@ class SnapLake:
         apply_epoch, so ledger/lineage record the FULL consumed offset
         range, not just LWW winners. Without it, stats fall back to the
         (deduped) batch itself.
+
+        ``mor_lineage_stats``: optional pre-aggregated MoR lineage rows
+        ``{pid, rows_upserted, rows_deleted, rows_late_ignored, bytes}``
+        (apply_epoch folds them into its pre-commit aggregate — one fewer
+        job per epoch); requires ``input_stats``. Ignored in COW mode.
         """
         t0 = time.monotonic()
         man = self.manifest()
@@ -611,9 +617,46 @@ class SnapLake:
         )
 
         mode = man.get("mode", "cow")
+        obs = obs_pids = None
         if mode == "mor":
             # merge-on-read: the deduped batch IS the delta — no target read,
             # no join. Tombstones ride along as _deleted rows; scan collapses.
+            #
+            # Lineage for this mode is a per-source-partition aggregate over
+            # the SAME rows the write consumes, so it rides INSIDE the write
+            # job via an Observation node (map-side, no extra job barrier)
+            # instead of a second collect — the pids are known up front from
+            # input_stats, so the aggregate unrolls to a few counters each.
+            if (
+                collect_lineage
+                and mor_lineage_stats is None
+                and input_stats is not None
+            ):
+                from pyspark.sql import Observation
+
+                obs_pids = [s["partition_id"] for s in input_stats]
+                has_sp0 = source_partition_col in batch_df.columns
+                sp0 = (
+                    F.col(source_partition_col).cast("int")
+                    if has_sp0
+                    else F.lit(None).cast("int")
+                )
+                blen0 = (
+                    F.octet_length("html")
+                    if "html" in batch_df.columns
+                    else F.lit(None).cast("int")
+                )
+                exprs = []
+                for p in obs_pids:
+                    m = sp0.isNull() if p is None else (sp0 == F.lit(p))
+                    tag = "null" if p is None else str(p)
+                    exprs += [
+                        F.sum(F.when(m & (F.col("op") != "delete"), 1).otherwise(0)).alias(f"up_{tag}"),
+                        F.sum(F.when(m & (F.col("op") == "delete"), 1).otherwise(0)).alias(f"del_{tag}"),
+                        F.coalesce(F.sum(F.when(m, blen0)), F.lit(0)).cast("long").alias(f"b_{tag}"),
+                    ]
+                obs = Observation(f"lineage_e{epoch_id}_v{version}")
+                src = src.observe(obs, *exprs)
             j = s_here = s_newer = t_here = None
             result = src.select(
                 *user_cols,
@@ -660,9 +703,12 @@ class SnapLake:
         out_rel = os.path.join("data", commit_id)
         out_abs = os.path.join(self.path, out_rel)
         if os.path.exists(out_abs):
-            # crash happened between data write and manifest commit on a
-            # previous attempt: the dir is unreferenced (ledger check above
-            # proved no manifest committed it) — safe to clear and rewrite
+            # dir exists: either debris from a crash between data write and
+            # manifest commit, or a peer committed this epoch after our head
+            # read. Distinguish with a FRESH head read — never clobber files
+            # a published manifest references.
+            if self.ledger_entry(int(epoch_id), self.manifest()) is not None:
+                return None
             import shutil
 
             shutil.rmtree(out_abs)
@@ -700,7 +746,28 @@ class SnapLake:
         lineage_rows: list[dict] = []
         if collect_lineage:
             has_sp = source_partition_col in batch_df.columns
-            if mode == "mor":
+            if mode == "mor" and mor_lineage_stats is not None:
+                # apply_epoch already folded the upsert/delete/byte split
+                # into its combined pre-commit aggregate — no extra job
+                stats = mor_lineage_stats
+            elif mode == "mor" and obs is not None:
+                # the write job's Observation collected the aggregates
+                # map-side; obs.get is already complete (the write action
+                # above finished) — zero extra jobs
+                vals = obs.get
+                stats = []
+                for p in obs_pids:
+                    tag = "null" if p is None else str(p)
+                    stats.append(
+                        {
+                            "pid": p,
+                            "rows_upserted": int(vals[f"up_{tag}"]),
+                            "rows_deleted": int(vals[f"del_{tag}"]),
+                            "rows_late_ignored": None,
+                            "bytes": int(vals[f"b_{tag}"]),
+                        }
+                    )
+            elif mode == "mor":
                 # no target read in MoR: upsert/delete split comes from the
                 # batch ops; late-vs-fresh classification is deferred to
                 # scan-time collapse (Iceberg MoR behaves the same way)
@@ -812,42 +879,88 @@ class SnapLake:
                     }
                 )
 
-        ledger_entry = {
-            "commit_id": commit_id,
-            "epoch_id": int(epoch_id),
-            "first_seq": lo,
-            "last_seq": hi,
-            "committed_at": datetime.now(timezone.utc).isoformat(),
-            "snapshot_id": snapshot_id,
-        }
-        with phase("commit_meta"):
-            inline_ledger, ledger_spill = self._advance_ledger(
-                man, int(epoch_id), ledger_entry, bundle
-            )
-            if bundle.members:
-                self._write_side_json(bundle.rel_path, bundle.members)
-        new_man = {
-            "version": version,
-            "table_uuid": man["table_uuid"],
-            "schema": new_schema.jsonValue(),
-            "n_buckets": n_buckets,
-            "mode": mode,
-            "file_groups": file_groups,
-            "parent": man["version"],
-            "summary": {
+        # -- metadata commit with optimistic-concurrency retry (the Iceberg
+        # commit-retry analog): a concurrent writer publishing first makes
+        # _write_manifest's exclusive create raise; re-read HEAD, no-op if
+        # the peer committed THIS epoch (drop our unreferenced data dir),
+        # else rebase the metadata plane onto the new head and try again.
+        # Data files never move — they are keyed by commit_id, and only a
+        # published manifest references them.
+        max_races = 5
+        for _race in range(max_races):
+            ledger_entry = {
                 "commit_id": commit_id,
                 "epoch_id": int(epoch_id),
-                "first_seq": ledger_entry["first_seq"],
-                "last_seq": ledger_entry["last_seq"],
-                "touched_buckets": len(touched),
-                "files_written": len(new_files),
-            },
-            "ledger": inline_ledger,
-            "ledger_spill": ledger_spill,
-            "lineage": lineage_rows,
-        }
-        with phase("commit_meta"):
-            self._write_manifest(new_man)
+                "first_seq": lo,
+                "last_seq": hi,
+                "committed_at": datetime.now(timezone.utc).isoformat(),
+                "snapshot_id": snapshot_id,
+            }
+            for row in lineage_rows:
+                row["snapshot_id"] = snapshot_id
+            with phase("commit_meta"):
+                inline_ledger, ledger_spill = self._advance_ledger(
+                    man, int(epoch_id), ledger_entry, bundle
+                )
+                if bundle.members:
+                    self._write_side_json(bundle.rel_path, bundle.members)
+            new_man = {
+                "version": version,
+                "table_uuid": man["table_uuid"],
+                "schema": new_schema.jsonValue(),
+                "n_buckets": n_buckets,
+                "mode": mode,
+                "file_groups": file_groups,
+                "parent": man["version"],
+                "summary": {
+                    "commit_id": commit_id,
+                    "epoch_id": int(epoch_id),
+                    "first_seq": ledger_entry["first_seq"],
+                    "last_seq": ledger_entry["last_seq"],
+                    "touched_buckets": len(touched),
+                    "files_written": len(new_files),
+                },
+                "ledger": inline_ledger,
+                "ledger_spill": ledger_spill,
+                "lineage": lineage_rows,
+            }
+            try:
+                with phase("commit_meta"):
+                    self._write_manifest(new_man)
+                break
+            except FileExistsError:
+                man = self.manifest()
+                if self.ledger_entry(int(epoch_id), man) is not None:
+                    # the peer committed exactly this epoch: clean no-op.
+                    # Leave the data dir alone — with interleaved same-path
+                    # writes it may be the very dir the peer's manifest
+                    # references; if it is truly ours and orphaned,
+                    # expire_snapshots' vacuum reclaims it by reference set.
+                    return None
+                # rebase: head schema may have evolved under us; table
+                # schema becomes the union (our already-written files are
+                # narrower-or-equal and NULL-fill at read, same as any
+                # pre-evolution file)
+                new_schema = evolve_schema(
+                    T.StructType.fromJson(man["schema"]), incoming
+                )
+                version = man["version"] + 1
+                snapshot_id = f"v{version:08d}"
+                bundle = _SideBundle(
+                    os.path.join(
+                        "metadata",
+                        f"commit-{man['table_uuid'][:8]}-{commit_id}.json",
+                    )
+                )
+                file_groups = self._advance_file_groups(
+                    man, commit_id, set(touched), new_files, bundle
+                )
+        else:
+            raise RuntimeError(
+                f"epoch {epoch_id}: lost {max_races} manifest races in a row "
+                f"(a crashed peer may have left an unpublished manifest for "
+                f"version {version}; inspect {self.meta_dir})"
+            )
         return {
             "version": version,
             "commit_id": commit_id,
