@@ -6,9 +6,9 @@ sf0.001, projected scalar-comparable and checked against the independently
 computed sequential pandas oracle. ``queries()`` exposes one entry per
 implemented operator family from SURVEY.md §2 (+§2.11) plus the
 training-data operators (dedup / similarity / text analysis /
-multimodal); ``oracle_sql()`` carries the DuckDB-equivalent SQL for every
-entry except ``multimodal_features_stub`` (its decoder is an
-honestly-declared stub — nothing exists for DuckDB to recompute).
+multimodal); ``oracle_sql()`` carries the DuckDB-equivalent SQL for EVERY
+entry — including ``multimodal_features``, whose real BMP/WAV decoders
+are checked against a hex-arithmetic oracle that never touches binary.
 """
 
 from __future__ import annotations

@@ -9,13 +9,13 @@ The headline workload is the engine itself: a seed-deterministic CDC WAL
 and bucketed MERGE; plus the heaviest contract queries. The two-cluster-size
 scaling evidence lives in bench/run.py -> BENCH/BASELINE.md.
 
-Each measured step runs $SPARK_GRAFT_BENCH_TRIALS times (default 2) and
-reports the MIN wall: this sandbox VM's hypervisor stalls whole cores for
-tens of seconds at a time (measured: byte-identical runs walling 13s /
-17s / 66s — see BENCH/ANALYSIS_r3.md), and a single stall landing inside
-a single-shot measurement would otherwise be recorded as the engine's
-number for the round. Min-over-trials is the same estimator bench/run.py
-already uses for the scaling criterion.
+Each measured step runs $SPARK_GRAFT_BENCH_TRIALS times (default 2):
+per-step minima are reported in "queries" (stall-robust — this sandbox
+VM's hypervisor stalls whole cores for tens of seconds at a time, see
+BENCH/ANALYSIS_r3.md), while the headline "value" is the MINIMUM OVER
+TRIAL TOTALS — a wall time one actual run achieved, never a composite of
+per-step bests no single run produced ("trial_totals" lists every trial;
+"best_steps_total" is the composite, labeled as such).
 """
 
 from __future__ import annotations
@@ -167,12 +167,16 @@ def main() -> None:
         warm = SnapLake.create(os.path.join(tmp, "lake_warm"), PAGES_SCHEMA_V1, n_buckets=32)
         replay(spark, warm, wal, CdcConfig(events_per_epoch=EVENTS_PER_EPOCH, n_buckets=32), max_epochs=1)
 
-        timings: dict[str, float] = {}
+        trials: list[dict[str, float]] = []
         for trial in range(TRIALS):
-            for k, v in _run_trial(spark, tmp, wal, trial).items():
-                timings[k] = v if k not in timings else min(timings[k], v)
-
-        total = round(sum(timings.values()), 3)
+            trials.append(_run_trial(spark, tmp, wal, trial))
+        # per-step minima (stall-robust per-step estimator) ...
+        timings = {k: min(tr[k] for tr in trials) for k in trials[0]}
+        # ... but the HEADLINE total is min-of-trial-totals: a wall time one
+        # actual run achieved, never a composite no single run produced
+        # (round-3 advisor finding on bench.py)
+        trial_totals = [round(sum(tr.values()), 3) for tr in trials]
+        total = min(trial_totals)
         print(
             json.dumps(
                 {
@@ -180,6 +184,8 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
+                    "trial_totals": trial_totals,
+                    "best_steps_total": round(sum(timings.values()), 3),
                     "sf": _sf_tag(SF_DIR),
                     "events": N_EVENTS,
                     "trials": TRIALS,

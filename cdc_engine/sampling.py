@@ -47,7 +47,7 @@ def dataset_splits(
     )
     return df.select(
         F.col(key), b.cast("int").alias("bucket"), split.alias("split")
-    ).orderBy(key)
+    )
 
 
 def stratified_sample(

@@ -77,7 +77,7 @@ def ivf_assign(emb: DataFrame, n_cells: int = 16) -> DataFrame:
             F.col("_b.cell_dot_q").alias("cell_dot_q"),
         )
     )
-    return best.orderBy("vec_id")
+    return best
 
 
 def _srp_hyperplanes(n_bits: int, dim: int) -> list[list[int]]:
@@ -117,7 +117,7 @@ def srp_buckets(emb: DataFrame, n_bits: int = 16, dim: int = 64) -> DataFrame:
         bucket = bucket + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return emb.select("vec_id", bucket.alias("srp_bucket")).orderBy("vec_id")
+    return emb.select("vec_id", bucket.alias("srp_bucket"))
 
 
 def srp_bucket_sql(n_bits: int = 16, dim: int = 64) -> str:

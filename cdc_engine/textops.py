@@ -53,7 +53,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         ).eqNullSafe(F.col(f"s_{l}"))
         pred = F.when(cond, F.lit(l)).otherwise(pred)
     out = scored.select("doc_id", "lang", *[f"s_{l}" for l in LANG_ORDER], pred.alias("pred_lang"))
-    return out.orderBy("doc_id")
+    return out
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -78,7 +78,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         punct_milli.alias("punct_milli"),
         stop_milli.alias("stopword_milli"),
         quality_milli.alias("quality_milli"),
-    ).orderBy("doc_id")
+    )
 
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -88,13 +88,13 @@ def token_count(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))).alias("n_ws_tokens"),
         F.regexp_count(F.lower(F.col("text")), F.lit(BPE_ISH_RE)).alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Whitespace-normalized md5 content fingerprint."""
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    return docs.select("doc_id", F.md5(norm).alias("fp")).orderBy("doc_id")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
 
 
 def winnow_fingerprint(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
@@ -130,7 +130,7 @@ def winnow_fingerprint(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
         F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")).alias(
             "fp_hash"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 def vocab_df_topk(docs: DataFrame, k: int = 20) -> DataFrame:
@@ -192,5 +192,4 @@ def boilerplate_share(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame
                 F.round(F.lit(1000.0) * F.col("n_boiler") / F.col("n_shingles")).cast("long"),
             ).alias("boiler_milli"),
         )
-        .orderBy("doc_id")
     )

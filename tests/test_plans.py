@@ -87,6 +87,53 @@ def test_neardup_blocking_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_jaccard_chain_reuses_tokenization(spark):
+    """jaccard_on_lsh must share ONE distinct token relation across the
+    signature, size, and intersection stages (round-3 verdict #3: it
+    tokenized the corpus three times). With AQE off, the static planner
+    must mark the shared token shuffle as ReusedExchange; with AQE on the
+    same reuse happens at runtime via stage reuse."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(QUERIES["jaccard_on_lsh"](spark, SF))
+        assert "ReusedExchange" in p, p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _top_physical_node(p: str) -> str:
+    for line in p.splitlines():
+        s = line.strip()
+        if not s or s.startswith("==") or "AdaptiveSparkPlan" in s:
+            continue
+        return s
+    return ""
+
+
+def test_no_presentation_sort_in_hot_queries(spark):
+    """The driver's value-hash is order-insensitive, so contract queries
+    must not end in a global presentation sort (round-3 verdict #4 — a
+    full extra exchange+sort per query at any scale). Semantic sorts
+    (top-k orderBy+limit -> TakeOrderedAndProject, window-internal sorts)
+    are still allowed below the root."""
+    for name in (
+        "jaccard_on_lsh",
+        "edit_distance_rescore",
+        "minhash_signatures",
+        "lsh_candidates",
+        "simhash_fingerprints",
+        "dedup_canonical_map",
+        "boilerplate_share",
+        "repetition_stats",
+        "denylist_scrub",
+        "epoch_stats",
+        "running_window",
+        "embedding_neardup_pairs",
+    ):
+        top = _top_physical_node(_plan(QUERIES[name](spark, SF), mode="simple"))
+        assert "Sort" not in top, f"{name} roots at a presentation sort: {top}"
+
+
 def test_minhash_single_shuffle_before_order(spark):
     """The signature aggregation must shuffle the token relation exactly
     once (one hashpartitioning exchange); the 8x crossJoin form shuffled
