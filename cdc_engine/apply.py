@@ -222,9 +222,11 @@ def apply_epoch(
         df = df.persist()
         persisted = df
     try:
-        return lake.merge(
-            spark, df, epoch_id, input_stats=input_stats, touched_buckets=touched,
-            mor_lineage_stats=mor_lineage_stats,
-        )
+        with phase("merge_total"):
+            return lake.merge(
+                spark, df, epoch_id, input_stats=input_stats, touched_buckets=touched,
+                mor_lineage_stats=mor_lineage_stats,
+            )
     finally:
-        persisted.unpersist()
+        if persisted is not None:
+            persisted.unpersist()

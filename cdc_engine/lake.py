@@ -88,6 +88,24 @@ from cdc_engine.timing import phase
 LEDGER_INLINE_MAX = 64
 LEDGER_SPILL_CHUNK = 32
 FILE_GROUPS_MAX = 64
+# Adaptive write fanout (the Iceberg fanout-writer problem): a small epoch
+# on a many-bucket table must not write one tiny file per bucket. When the
+# epoch's row count is small, data files are written per bucket CLASS
+# (residue mod ft, ft a multiple of the metadata group count) instead of
+# per bucket, so file count tracks data size, not bucket count; entries
+# carry "bmod" = ft and cover every bucket congruent to their residue.
+# A plain entry (no bmod) covers exactly its one bucket (bmod=n_buckets).
+TARGET_ROWS_PER_FILE = 100_000
+
+
+def _entry_covers(f: dict, n_buckets: int, buckets) -> bool:
+    """Does file entry ``f`` (possibly a bucket-class file) cover any of
+    ``buckets``? Conservative by design: a class file may hold rows for
+    only some of its declared residue class — selection then reads a few
+    extra small files, never misses one."""
+    m = f.get("bmod", n_buckets)
+    r = f["bucket"] % m
+    return any(b % m == r for b in buckets)
 
 
 def _load_side_json(path: str):
@@ -413,7 +431,8 @@ class SnapLake:
             for g in need:  # metadata reads prune with the bucket filter
                 fs.extend(self._resolve_ref(g_all[g].get("ref") or g_all[g]["path"]))
         if buckets is not None:
-            fs = [f for f in fs if f["bucket"] in buckets]
+            nb = manifest["n_buckets"]
+            fs = [f for f in fs if _entry_covers(f, nb, buckets)]
         return fs
 
     def _advance_file_groups(
@@ -456,7 +475,10 @@ class SnapLake:
             if appending:
                 kept = list(old)  # MoR: append-only; compaction folds later
             else:
-                kept = [f for f in old if f["bucket"] not in touched]
+                # a replaced file is exactly one the merge's target read
+                # selected: any file COVERING a touched bucket (class files
+                # are read whole and their rows carried through the join)
+                kept = [f for f in old if not _entry_covers(f, man["n_buckets"], touched)]
             new_list = sorted(kept + fresh, key=lambda f: (f["bucket"], f["path"]))
             if not new_list:
                 groups.pop(str(g), None)
@@ -563,6 +585,27 @@ class SnapLake:
                 kept += 1
         return kept, len(files)
 
+    @staticmethod
+    def _write_modulus(n_buckets: int, est_rows: int | None) -> int:
+        """File-fanout modulus for a data write: n_buckets (one file per
+        bucket, the steady-state layout) when the write is large or the
+        table is small; otherwise the smallest multiple of the metadata
+        group count that keeps files near TARGET_ROWS_PER_FILE. Always a
+        multiple of n_groups so a class file's entries stay inside one
+        file-group shard (metadata pruning keyed on bucket % n_groups
+        remains exact)."""
+        n_groups = min(FILE_GROUPS_MAX, n_buckets)
+        if (
+            est_rows is None
+            or n_groups == n_buckets
+            or n_buckets % n_groups != 0
+        ):
+            return n_buckets
+        want = max(1, -(-est_rows // TARGET_ROWS_PER_FILE))
+        if want >= n_buckets:
+            return n_buckets
+        return min(n_buckets, max(n_groups, -(-want // n_groups) * n_groups))
+
     # -------------------------------------------------------------- merge
     def merge(
         self,
@@ -593,6 +636,7 @@ class SnapLake:
         job per epoch); requires ``input_stats``. Ignored in COW mode.
         """
         t0 = time.monotonic()
+        _plan_t0 = time.monotonic()
         man = self.manifest()
         if self.ledger_entry(epoch_id, man) is not None:
             return None
@@ -607,7 +651,6 @@ class SnapLake:
         )
         new_schema = evolve_schema(cur_schema, incoming)
         user_cols = [f.name for f in new_schema.fields]
-
         src = conform(batch_df, new_schema, passthrough=WAL_META_COLS)
         src = src.withColumn("_bucket", bucket_expr("url", n_buckets))
 
@@ -638,24 +681,34 @@ class SnapLake:
                 obs_pids = [s["partition_id"] for s in input_stats]
                 has_sp0 = source_partition_col in batch_df.columns
                 sp0 = (
-                    F.col(source_partition_col).cast("int")
+                    f"cast({source_partition_col} as int)"
                     if has_sp0
-                    else F.lit(None).cast("int")
+                    else "cast(null as int)"
                 )
                 blen0 = (
-                    F.octet_length("html")
+                    "octet_length(html)"
                     if "html" in batch_df.columns
-                    else F.lit(None).cast("int")
+                    else "cast(null as int)"
                 )
+                # ONE F.expr per pid (a named_struct of the aggregates):
+                # building these as column-object trees cost ~30 py4j round
+                # trips per pid — measured 0.2s/epoch of pure driver time
+                # at this workload's partition count, a serial term at any
+                # cluster size. A single SQL string is one round trip.
                 exprs = []
                 for p in obs_pids:
-                    m = sp0.isNull() if p is None else (sp0 == F.lit(p))
+                    m = f"({sp0}) is null" if p is None else f"({sp0}) = {int(p)}"
                     tag = "null" if p is None else str(p)
-                    exprs += [
-                        F.sum(F.when(m & (F.col("op") != "delete"), 1).otherwise(0)).alias(f"up_{tag}"),
-                        F.sum(F.when(m & (F.col("op") == "delete"), 1).otherwise(0)).alias(f"del_{tag}"),
-                        F.coalesce(F.sum(F.when(m, blen0)), F.lit(0)).cast("long").alias(f"b_{tag}"),
-                    ]
+                    exprs.append(
+                        F.expr(
+                            f"named_struct("
+                            f"'up', sum(case when ({m}) and op != 'delete' then 1 else 0 end), "
+                            f"'del', sum(case when ({m}) and op = 'delete' then 1 else 0 end), "
+                            f"'late', cast(null as bigint), "
+                            f"'b', cast(coalesce(sum(case when ({m}) then {blen0} end), 0) as bigint)"
+                            f") as pid_{tag}"
+                        )
+                    )
                 obs = Observation(f"lineage_e{epoch_id}_v{version}")
                 src = src.observe(obs, *exprs)
             j = s_here = s_newer = t_here = None
@@ -671,30 +724,86 @@ class SnapLake:
             tgt = conform(tgt, _internal_schema(new_schema))
 
             j = tgt.alias("t").join(src.alias("s"), F.col("t.url") == F.col("s.url"), "full_outer")
-            s_here = F.col("s.url").isNotNull()
-            t_here = F.col("t.url").isNotNull()
-            s_newer = (
-                F.when(~t_here, F.lit(True))
-                .when(~s_here, F.lit(False))
-                .otherwise(
-                    (F.col("s.warc_ts") > F.col("t.warc_ts"))
-                    | (
-                        (F.col("s.warc_ts") == F.col("t.warc_ts"))
-                        & (F.col("s.seq") > F.col(f"t.{INTERNAL_SEQ}"))
-                    )
-                )
+            # winner predicate + per-column pick, as SQL strings: one py4j
+            # round trip per column instead of the ~6 a when/otherwise
+            # column tree costs — this is per-epoch DRIVER time (serial at
+            # any cluster size; measured ~0.17s/epoch as column objects)
+            newer_sql = (
+                "(case when t.url is null then true "
+                "when s.url is null then false "
+                "else (s.warc_ts > t.warc_ts) or "
+                f"(s.warc_ts = t.warc_ts and s.seq > t.{INTERNAL_SEQ}) end)"
             )
+            s_newer = F.expr(newer_sql)
             pick = [
-                F.when(s_newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                F.expr(f"case when {newer_sql} then s.`{c}` else t.`{c}` end as `{c}`")
                 for c in user_cols
             ]
+            if collect_lineage and input_stats is not None:
+                # COW lineage rides INSIDE the write job via an Observation
+                # on the full-outer join (same lever the MoR path got one
+                # round earlier): the outcome split per source partition is
+                # collected map-side while the winners stream to parquet,
+                # removing the separate narrow re-join job — one Spark job
+                # barrier per epoch, pure serial time at any cluster size.
+                # One F.expr per pid (a named_struct of the 4 aggregates):
+                # column-object trees here cost ~30 py4j round trips per
+                # pid of driver time.
+                from pyspark.sql import Observation
+
+                obs_pids = [s["partition_id"] for s in input_stats]
+                sh = "s.url is not null"
+                newer = (
+                    "(case when t.url is null then true "
+                    "when s.url is null then false "
+                    "else (s.warc_ts > t.warc_ts) or "
+                    f"(s.warc_ts = t.warc_ts and s.seq > t.{INTERNAL_SEQ}) end)"
+                )
+                sp_sql = (
+                    f"cast(s.{source_partition_col} as int)"
+                    if source_partition_col in batch_df.columns
+                    else "cast(null as int)"
+                )
+                blen_sql = (
+                    "octet_length(s.html)"
+                    if "html" in batch_df.columns
+                    else "cast(null as int)"
+                )
+                exprs = []
+                for p in obs_pids:
+                    m = (
+                        f"({sh}) and ({sp_sql}) is null"
+                        if p is None
+                        else f"({sh}) and ({sp_sql}) = {int(p)}"
+                    )
+                    tag = "null" if p is None else str(p)
+                    exprs.append(
+                        F.expr(
+                            f"named_struct("
+                            f"'up', sum(case when ({m}) and ({newer}) and s.op != 'delete' then 1 else 0 end), "
+                            f"'del', sum(case when ({m}) and ({newer}) and s.op = 'delete' then 1 else 0 end), "
+                            f"'late', sum(case when ({m}) and not ({newer}) then 1 else 0 end), "
+                            f"'b', cast(coalesce(sum(case when ({m}) then {blen_sql} end), 0) as bigint)"
+                            f") as pid_{tag}"
+                        )
+                    )
+                obs = Observation(f"lineage_e{epoch_id}_v{version}")
+                j = j.observe(obs, *exprs)
             result = j.select(
                 *pick,
-                F.when(s_newer, F.col("s.seq")).otherwise(F.col(f"t.{INTERNAL_SEQ}")).alias(INTERNAL_SEQ),
-                F.when(s_newer, F.col("s.op") == F.lit("delete"))
-                .otherwise(F.col(f"t.{INTERNAL_DELETED}"))
-                .alias(INTERNAL_DELETED),
-                F.coalesce(F.col("s._bucket"), bucket_expr("t.url", n_buckets)).alias("_bucket"),
+                F.expr(
+                    f"case when {newer_sql} then s.seq else t.{INTERNAL_SEQ} end "
+                    f"as {INTERNAL_SEQ}"
+                ),
+                F.expr(
+                    f"case when {newer_sql} then s.op = 'delete' "
+                    f"else t.{INTERNAL_DELETED} end as {INTERNAL_DELETED}"
+                ),
+                # same bucket function as salt.bucket_expr (pmod/xxhash64
+                # with Spark's default seed 42)
+                F.expr(
+                    f"coalesce(s._bucket, pmod(xxhash64(t.url), {n_buckets})) as _bucket"
+                ),
             )
 
         # one output file per touched bucket: repartition ON the bucket id,
@@ -734,7 +843,31 @@ class SnapLake:
                 file=sys.stderr,
             )
             shutil.rmtree(out_abs)
-        nparts = max(1, min(len(touched), spark.sparkContext.defaultParallelism))
+        # adaptive fanout: collapse per-bucket files into bucket-CLASS
+        # files when the epoch is small (file count tracks data, not
+        # bucket count — a 50k-row epoch on a 4096-bucket table writes
+        # ~64 files, not 4096 tiny ones)
+        est_rows = (
+            sum(int(st["rows_in"]) for st in input_stats)
+            if input_stats is not None
+            else None
+        )
+        ft = self._write_modulus(n_buckets, est_rows)
+        if ft < n_buckets:
+            result = result.withColumn(
+                "_bucket", F.pmod(F.col("_bucket"), F.lit(ft))
+            )
+        nparts = max(
+            1,
+            min(ft if ft < n_buckets else len(touched),
+                spark.sparkContext.defaultParallelism),
+        )
+        from cdc_engine import timing as _timing
+        if _timing.enabled():
+            # plan-construction span: everything from the manifest read to
+            # the write action — per-epoch DRIVER time (serial at any
+            # cluster size), the term the F.expr conversions above shrink
+            _timing.records.append(("merge_plan", time.monotonic() - _plan_t0))
         with phase("data_write"):
             (
                 result.repartition(nparts, F.col("_bucket"))
@@ -746,15 +879,19 @@ class SnapLake:
 
         with phase("footer_stats"):
             new_files = _walk_bucket_files(self.path, out_rel)
+        if ft < n_buckets:
+            for f in new_files:
+                f["bmod"] = ft  # class file: covers residue f["bucket"] mod ft
         if mode == "mor":
             for f in new_files:
                 f["kind"] = "delta"  # append-only; compaction folds
         bundle = _SideBundle(
             os.path.join("metadata", f"commit-{man['table_uuid'][:8]}-{commit_id}.json")
         )
-        file_groups = self._advance_file_groups(
-            man, commit_id, set(touched), new_files, bundle
-        )
+        with phase("advance_groups"):
+            file_groups = self._advance_file_groups(
+                man, commit_id, set(touched), new_files, bundle
+            )
 
         # -- stats for ledger + lineage (narrow second pass: Catalyst prunes
         # html/text out of both scans; the join re-runs on slim columns)
@@ -772,26 +909,34 @@ class SnapLake:
                 # apply_epoch already folded the upsert/delete/byte split
                 # into its combined pre-commit aggregate — no extra job
                 stats = mor_lineage_stats
-            elif mode == "mor" and obs is not None:
+            elif obs is not None:
                 # the write job's Observation collected the aggregates
-                # map-side; obs.get is already complete (the write action
-                # above finished) — zero extra jobs
+                # map-side (both modes; COW observes the full-outer join);
+                # obs.get is already complete (the write action above
+                # finished) — zero extra jobs
                 vals = obs.get
                 stats = []
                 for p in obs_pids:
                     tag = "null" if p is None else str(p)
+                    st = vals[f"pid_{tag}"]
+                    late = st["late"]
                     row = {
                         "pid": p,
-                        "rows_upserted": int(vals[f"up_{tag}"]),
-                        "rows_deleted": int(vals[f"del_{tag}"]),
-                        "rows_late_ignored": None,
-                        "bytes": int(vals[f"b_{tag}"]),
+                        "rows_upserted": int(st["up"]),
+                        "rows_deleted": int(st["del"]),
+                        "rows_late_ignored": None if late is None else int(late),
+                        "bytes": int(st["b"]),
                     }
                     # normalize the absent-pid encoding across lineage
                     # modes (round-3 advisor): a pid with no surviving
                     # rows is OMITTED (as the collect-based path did),
                     # not emitted as an all-zero observation row
-                    if row["rows_upserted"] or row["rows_deleted"] or row["bytes"]:
+                    if (
+                        row["rows_upserted"]
+                        or row["rows_deleted"]
+                        or row["rows_late_ignored"]
+                        or row["bytes"]
+                    ):
                         stats.append(row)
             elif mode == "mor":
                 # no target read in MoR: upsert/delete split comes from the
@@ -998,9 +1143,16 @@ class SnapLake:
 
     # --------------------------------------------------------- compaction
     def bucket_file_counts(self) -> dict[int, int]:
+        """Files covering each bucket (a class file counts toward every
+        bucket in its residue class — that is exactly the number of files
+        a bucket-scoped scan of that bucket must read)."""
+        man = self.manifest()
+        nb = man["n_buckets"]
         counts: dict[int, int] = {}
-        for f in self._files(self.manifest()):
-            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        for f in self._files(man):
+            m = f.get("bmod", nb)
+            for b in range(f["bucket"] % m, nb, m):
+                counts[b] = counts.get(b, 0) + 1
         return counts
 
     def compact(
@@ -1032,7 +1184,25 @@ class SnapLake:
             import shutil
 
             shutil.rmtree(out_abs)
+        # coverage-closure expansion: a bucket-class delta file covering a
+        # requested bucket also holds rows of its OTHER residue-class
+        # buckets; collapsing those rows against a subset of their files
+        # (and keeping their old base files) would leave a url in two base
+        # files. Expand the set until every selected file's full coverage
+        # is inside it — replacement set == coverage closure, preserving
+        # the one-base-file-per-url invariant.
+        nb = man["n_buckets"]
         bucket_set = set(buckets)
+        while True:
+            cov: set[int] = set()
+            for f in self._files(man, bucket_set):
+                m = f.get("bmod", nb)
+                cov.update(range(f["bucket"] % m, nb, m))
+            if cov <= bucket_set:
+                break
+            bucket_set |= cov
+        files_in = self._files(man, bucket_set)
+        est_rows = sum(int(f.get("rows") or 0) for f in files_in) or None
         collapsed = self.scan_internal(spark, buckets=bucket_set)
         if purge_tombstones_older_than_seq is not None:
             collapsed = collapsed.where(
@@ -1044,7 +1214,18 @@ class SnapLake:
         collapsed = collapsed.withColumn(
             "_bucket", bucket_expr("url", man["n_buckets"])
         )
-        nparts = max(1, min(len(bucket_set), spark.sparkContext.defaultParallelism))
+        # same adaptive fanout as merge: compacting a small table must not
+        # re-explode it into one tiny file per bucket
+        ft = self._write_modulus(nb, est_rows)
+        if ft < nb:
+            collapsed = collapsed.withColumn(
+                "_bucket", F.pmod(F.col("_bucket"), F.lit(ft))
+            )
+        nparts = max(
+            1,
+            min(ft if ft < nb else len(bucket_set),
+                spark.sparkContext.defaultParallelism),
+        )
         (
             collapsed.repartition(nparts, F.col("_bucket"))
             .sortWithinPartitions("url")
@@ -1053,6 +1234,9 @@ class SnapLake:
             .parquet(out_abs)
         )
         new_files = _walk_bucket_files(self.path, out_rel)
+        if ft < nb:
+            for f in new_files:
+                f["bmod"] = ft
         bundle = _SideBundle(
             os.path.join("metadata", f"commit-{man['table_uuid'][:8]}-{commit_id}.json")
         )

@@ -23,6 +23,7 @@ from pyspark.sql import SparkSession
 
 from cdc_engine.apply import apply_epoch
 from cdc_engine.config import CdcConfig
+from cdc_engine.timing import phase
 from cdc_engine.lake import SnapLake
 from cdc_engine.source import list_segments, open_stream, read_seq_range
 
@@ -74,15 +75,17 @@ def replay(
         batch = read_seq_range(spark, wal_dir, k * e, (k + 1) * e)
         # expected_seq_range: epoch k OWNS this window by definition, so a
         # ledger hit under a different batching is detected without Spark work
-        r = apply_epoch(
-            spark, lake, batch, epoch_id=k, cfg=cfg,
-            expected_seq_range=(k * e, (k + 1) * e),
-        )
+        with phase("apply_total"):
+            r = apply_epoch(
+                spark, lake, batch, epoch_id=k, cfg=cfg,
+                expected_seq_range=(k * e, (k + 1) * e),
+            )
         if r is not None:
             results.append(r)
             # MoR hygiene: fold delta files back into base once a bucket
             # accumulates too many (no-op for COW tables — one file/bucket)
-            lake.maybe_compact(spark, cfg.compact_after_files)
+            with phase("maybe_compact"):
+                lake.maybe_compact(spark, cfg.compact_after_files)
         done += 1
         if max_epochs is not None and done >= max_epochs:
             break

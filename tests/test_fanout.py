@@ -1,0 +1,92 @@
+"""Adaptive write-fanout tests (round-3 verdict task 7, the Iceberg
+fanout-writer problem): a small epoch on a many-bucket table must write
+bucket-CLASS files (count tracking data size), not one tiny file per
+bucket — while keeping replay results byte-identical to the per-bucket
+layout, keeping compaction correct (coverage closure), and keeping the
+one-base-file-per-url invariant scan depends on."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cdc_engine import CdcConfig, SnapLake, replay
+from cdc_engine.lake import FILE_GROUPS_MAX
+from cdc_engine.schemas import PAGES_SCHEMA_V1
+
+from tests.conftest import DOCS_SF0001
+
+
+@pytest.fixture(scope="module")
+def wal_small(tmp_path_factory):
+    from gen.walgen import WalConfig, generate_wal
+
+    d = str(tmp_path_factory.mktemp("wal_fanout"))
+    cfg = WalConfig(n_events=6_000, events_per_epoch=2_000, docs_parquet=DOCS_SF0001)
+    oracle = generate_wal(d, cfg)
+    return d, cfg, oracle
+
+
+def _replay(spark, tmp_path, wal_dir, n_buckets, mode="cow", name="lake"):
+    lake = SnapLake.create(
+        os.path.join(str(tmp_path), name), PAGES_SCHEMA_V1, n_buckets=n_buckets, mode=mode
+    )
+    replay(spark, lake, wal_dir, CdcConfig(events_per_epoch=2_000, n_buckets=n_buckets))
+    return lake
+
+
+def test_small_epoch_file_count_tracks_data_not_buckets(spark, tmp_path, wal_small):
+    wal_dir, _, _ = wal_small
+    lake = _replay(spark, tmp_path, wal_dir, n_buckets=512)
+    files = lake._files(lake.manifest())
+    # 3 epochs x <= n_groups(64) class files, NOT 3 x 512
+    assert len(files) <= 3 * FILE_GROUPS_MAX, len(files)
+    assert all(f.get("bmod") == FILE_GROUPS_MAX for f in files), files[:3]
+
+
+def test_many_bucket_layout_is_result_identical(spark, tmp_path, wal_small):
+    wal_dir, _, oracle = wal_small
+    small = _replay(spark, tmp_path, wal_dir, n_buckets=8, name="lake8")
+    big = _replay(spark, tmp_path, wal_dir, n_buckets=512, name="lake512")
+    assert small.state_hash(spark) == big.state_hash(spark)
+    n, _ = big.state_hash(spark)
+    assert n == len(oracle)
+
+
+def test_mor_class_deltas_collapse_and_compact(spark, tmp_path, wal_small):
+    wal_dir, _, oracle = wal_small
+    mor = _replay(spark, tmp_path, wal_dir, n_buckets=512, mode="mor", name="lakemor")
+    before = mor.state_hash(spark)
+    assert before[0] == len(oracle)
+    # compact ONE bucket: the coverage closure must expand through the
+    # class files so no url ends up split across two base files
+    r = mor.compact(spark, [3])
+    assert r is not None
+    after = mor.state_hash(spark)
+    assert after == before
+    scan = mor.scan(spark)
+    assert scan.count() == scan.select("url").distinct().count(), "duplicate urls!"
+
+
+def test_cow_second_epoch_replaces_covering_class_files(spark, tmp_path, wal_small):
+    """COW with class files: later epochs must replace every file COVERING
+    a touched bucket and carry its rows — row count and distinct urls stay
+    oracle-exact after all three epochs (exercised by the replay above,
+    asserted explicitly here)."""
+    wal_dir, _, oracle = wal_small
+    lake = _replay(spark, tmp_path, wal_dir, n_buckets=512, name="lakecow2")
+    scan = lake.scan(spark)
+    assert scan.count() == scan.select("url").distinct().count()
+    assert scan.count() == len(oracle)
+
+
+def test_large_write_keeps_per_bucket_layout(spark, tmp_path):
+    """est_rows >= n_buckets * target keeps the steady-state one-file-per-
+    bucket layout (the modulus function, unit-level)."""
+    assert SnapLake._write_modulus(512, 200_000_000) == 512
+    assert SnapLake._write_modulus(512, 50_000) == 64
+    assert SnapLake._write_modulus(512, 7_000_000) == 128
+    assert SnapLake._write_modulus(32, 1) == 32          # n_groups == n_buckets
+    assert SnapLake._write_modulus(100, 1) == 100        # 100 % 64 != 0 -> off
+    assert SnapLake._write_modulus(512, None) == 512
