@@ -76,6 +76,7 @@ def apply_epoch(
     cfg: CdcConfig | None = None,
     quarantine_dir: str | None = None,
     expected_seq_range: tuple[int, int] | None = None,
+    pid_bounds: tuple[int, int] | None = None,
 ) -> dict[str, Any] | None:
     """Apply one epoch; returns commit stats, or None if the epoch was
     already committed / the batch is empty (both are safe no-ops).
@@ -85,6 +86,14 @@ def apply_epoch(
     ledger hits are verified against it. Streaming callers leave it None
     and a ledger hit is verified against the batch's actual min/max seq
     (one narrow aggregate on the rare re-delivery path only).
+
+    ``pid_bounds``: optional (min, max) bound on source_partition values
+    (from WAL parquet footer stats — source.partition_pid_bounds). With it
+    AND an expected seq window, a MoR epoch takes the ZERO-EXTRA-JOB fast
+    path: input stats, quarantine counts, touched buckets, and lineage all
+    ride the write job's Observation, so the epoch is exactly ONE Spark
+    job (the delta write). Every job barrier is pure serial time at any
+    cluster size — this removes one of the two MoR ingest barriers.
     """
     cfg = cfg or CdcConfig()
     if quarantine_dir is None:
@@ -98,6 +107,16 @@ def apply_epoch(
         return None
 
     df = apply_mapping(batch_df, cfg.column_mapping)
+
+    if (
+        expected_seq_range is not None
+        and pid_bounds is not None
+        and man.get("mode", "cow") == "mor"
+    ):
+        return _apply_mor_fast(
+            spark, lake, df, epoch_id, cfg, quarantine_dir,
+            expected_seq_range, pid_bounds, man,
+        )
 
     # P4: null-safe key guard — LWW is undefined for null url/warc_ts/seq
     valid = F.col("url").isNotNull() & F.col("warc_ts").isNotNull() & F.col("seq").isNotNull()
@@ -230,3 +249,107 @@ def apply_epoch(
     finally:
         if persisted is not None:
             persisted.unpersist()
+
+
+_VALID_SQL = "url is not null and warc_ts is not null and seq is not null"
+
+
+def _apply_mor_fast(
+    spark: SparkSession,
+    lake: SnapLake,
+    df: DataFrame,
+    epoch_id: int,
+    cfg: CdcConfig,
+    quarantine_dir: str | None,
+    expected_seq_range: tuple[int, int],
+    pid_bounds: tuple[int, int],
+    man: dict,
+) -> dict[str, Any] | None:
+    """MoR replay epoch as exactly ONE Spark job: the delta write carries
+    an Observation computing — per source partition, map-side — the input
+    stats (rows/quarantined/seq range), the lineage split (upserts/
+    deletes/bytes), and the touched-bucket set, so the pre-commit stats
+    job (one full job barrier + one extra WAL scan per epoch) disappears.
+
+    The pid list is unrolled from footer-stat bounds (a conservative
+    superset: absent pids yield all-zero structs the lineage builder
+    drops). Quarantined rows are filtered before the write; if the
+    Observation reports any, they are persisted in one extra job on that
+    rare path only, still BEFORE the commit."""
+    from pyspark.sql import Observation
+
+    n_buckets = man["n_buckets"]
+    has_sp = "source_partition" in df.columns
+    sp = "cast(source_partition as int)" if has_sp else "cast(null as int)"
+    blen = "octet_length(html)" if "html" in df.columns else "cast(null as int)"
+    pids: list[int | None] = (
+        list(range(pid_bounds[0], pid_bounds[1] + 1)) if has_sp else [None]
+    )
+
+    def _per_pid(body_fmt: str) -> list:
+        out = []
+        for p in pids:
+            m = f"({sp}) is null" if p is None else f"({sp}) = {int(p)}"
+            tag = "null" if p is None else str(p)
+            out.append(F.expr(body_fmt.format(m=m, tag=tag)))
+        return out
+
+    # obs_in sits on the RAW batch (pre-filter, pre-dedup): the consumed
+    # input range — rows seen, quarantine counts, full seq span per pid
+    in_exprs = _per_pid(
+        "named_struct("
+        "'seen', sum(case when ({m}) then 1 else 0 end), "
+        f"'q', sum(case when ({{m}}) and not ({_VALID_SQL}) then 1 else 0 end), "
+        "'lo', min(case when ({m}) then seq end), "
+        "'hi', max(case when ({m}) then seq end)"
+        ") as pid_{tag}"
+    )
+    in_exprs.append(F.expr("count(*) as _total"))
+    obs_in = Observation(f"fast_in_e{epoch_id}")
+    observed = df.observe(obs_in, *in_exprs)
+
+    filtered = observed.where(F.expr(_VALID_SQL))
+    if cfg.mor_write_dedup:
+        filtered = lww_dedup(
+            filtered,
+            key="url",
+            ts="warc_ts",
+            seq="seq",
+            strategy=cfg.dedup_strategy,
+            salt_buckets=cfg.salt_buckets,
+        )
+    # obs_out sits on the rows the delta WRITE consumes (post-filter,
+    # post-dedup in eager mode): the applied-lineage split + touched set —
+    # byte-identical semantics to the stats-job path, which also measures
+    # lineage off the written winners
+    out_exprs = _per_pid(
+        "named_struct("
+        "'up', sum(case when ({m}) and op != 'delete' then 1 else 0 end), "
+        "'del', sum(case when ({m}) and op = 'delete' then 1 else 0 end), "
+        f"'b', cast(coalesce(sum(case when ({{m}}) then {blen} end), 0) as bigint)"
+        ") as pid_{tag}"
+    )
+    out_exprs.append(
+        F.expr(
+            f"collect_set(pmod(xxhash64(url), {n_buckets})) as _touched"
+        )
+    )
+    obs_out = Observation(f"fast_out_e{epoch_id}")
+    filtered = filtered.observe(obs_out, *out_exprs)
+
+    def quarantine_writer() -> None:
+        if cfg.quarantine_invalid and quarantine_dir is not None:
+            df.where(~F.expr(_VALID_SQL)).write.mode("append").parquet(
+                os.path.join(quarantine_dir, f"epoch={epoch_id}")
+            )
+
+    with phase("merge_total"):
+        return lake.merge(
+            spark,
+            filtered,
+            epoch_id,
+            fast_obs=(obs_in, obs_out),
+            fast_pids=pids,
+            est_rows=expected_seq_range[1] - expected_seq_range[0],
+            quarantine_writer=quarantine_writer,
+        )

@@ -617,6 +617,10 @@ class SnapLake:
         input_stats: list[dict] | None = None,
         touched_buckets: list[int] | None = None,
         mor_lineage_stats: list[dict] | None = None,
+        fast_obs=None,
+        fast_pids: list | None = None,
+        est_rows: int | None = None,
+        quarantine_writer=None,
     ) -> dict[str, Any] | None:
         """CDC-apply one deduped micro-batch (S4/J1). Returns commit stats,
         or None when ``epoch_id`` is already in the ledger (idempotence, J4).
@@ -634,6 +638,16 @@ class SnapLake:
         ``{pid, rows_upserted, rows_deleted, rows_late_ignored, bytes}``
         (apply_epoch folds them into its pre-commit aggregate — one fewer
         job per epoch); requires ``input_stats``. Ignored in COW mode.
+
+        ``fast_obs``/``fast_pids``: the MoR replay fast path (apply.
+        _apply_mor_fast) — an Observation already attached below
+        ``batch_df`` whose per-pid structs carry input stats, quarantine
+        counts, lineage splits, and the touched-bucket set. merge then
+        runs the write as the epoch's ONLY job and resolves all commit
+        metadata from the observation afterwards. ``est_rows`` sizes the
+        adaptive fanout (the expected seq-window width — exact for a
+        dense WAL); ``quarantine_writer`` is invoked (still before the
+        commit) only if the observation reports quarantined rows.
         """
         t0 = time.monotonic()
         _plan_t0 = time.monotonic()
@@ -654,11 +668,16 @@ class SnapLake:
         src = conform(batch_df, new_schema, passthrough=WAL_META_COLS)
         src = src.withColumn("_bucket", bucket_expr("url", n_buckets))
 
-        touched = (
-            sorted(touched_buckets)
-            if touched_buckets is not None
-            else sorted(r["_bucket"] for r in src.select("_bucket").distinct().collect())
-        )
+        if fast_obs is not None:
+            touched = None  # resolved from the observation after the write
+        else:
+            touched = (
+                sorted(touched_buckets)
+                if touched_buckets is not None
+                else sorted(
+                    r["_bucket"] for r in src.select("_bucket").distinct().collect()
+                )
+            )
 
         mode = man.get("mode", "cow")
         obs = obs_pids = None
@@ -847,11 +866,8 @@ class SnapLake:
         # files when the epoch is small (file count tracks data, not
         # bucket count — a 50k-row epoch on a 4096-bucket table writes
         # ~64 files, not 4096 tiny ones)
-        est_rows = (
-            sum(int(st["rows_in"]) for st in input_stats)
-            if input_stats is not None
-            else None
-        )
+        if est_rows is None and input_stats is not None:
+            est_rows = sum(int(st["rows_in"]) for st in input_stats)
         ft = self._write_modulus(n_buckets, est_rows)
         if ft < n_buckets:
             result = result.withColumn(
@@ -859,7 +875,7 @@ class SnapLake:
             )
         nparts = max(
             1,
-            min(ft if ft < n_buckets else len(touched),
+            min(ft if ft < n_buckets else (n_buckets if touched is None else len(touched)),
                 spark.sparkContext.defaultParallelism),
         )
         from cdc_engine import timing as _timing
@@ -885,6 +901,67 @@ class SnapLake:
         if mode == "mor":
             for f in new_files:
                 f["kind"] = "delta"  # append-only; compaction folds
+        if fast_obs is not None:
+            # resolve ALL commit metadata from the write job's two
+            # Observations (the epoch's only job): obs_in = consumed input
+            # (pre-filter), obs_out = applied rows (post-filter/dedup —
+            # byte-identical lineage semantics to the stats-job path)
+            obs_in, obs_out = fast_obs
+            in_vals = obs_in.get
+            if int(in_vals["_total"]) == 0:
+                # empty window: nothing written, nothing to commit
+                import shutil
+
+                shutil.rmtree(out_abs, ignore_errors=True)
+                return None
+            out_vals = obs_out.get
+            per_pid = []
+            for p in fast_pids:
+                tag = "null" if p is None else str(p)
+                st = in_vals[f"pid_{tag}"]
+                if int(st["seen"]) == 0:
+                    continue  # footer-bound superset: pid absent this epoch
+                per_pid.append((p, st, out_vals[f"pid_{tag}"]))
+            if sum(int(st["seen"]) for _p, st, _o in per_pid) != int(in_vals["_total"]):
+                raise RuntimeError(
+                    f"epoch {epoch_id}: source_partition values outside the "
+                    f"footer-stat bound {fast_pids[:1]}..{fast_pids[-1:]} — "
+                    f"WAL statistics are untrustworthy; rerun without the "
+                    f"fast path"
+                )
+            input_stats = [
+                {
+                    "partition_id": None if p is None else int(p),
+                    "rows_in": int(st["seen"]) - int(st["q"]),
+                    "rows_quarantined": int(st["q"]),
+                    "first_seq": None if st["lo"] is None else int(st["lo"]),
+                    "last_seq": None if st["hi"] is None else int(st["hi"]),
+                    "bytes": None,
+                }
+                for p, st, _o in per_pid
+            ]
+            mor_lineage_stats = [
+                {
+                    "pid": None if p is None else int(p),
+                    "rows_upserted": int(o["up"]),
+                    "rows_deleted": int(o["del"]),
+                    "rows_late_ignored": None,
+                    "bytes": int(o["b"]),
+                }
+                for p, _st, o in per_pid
+                if int(o["up"]) or int(o["del"]) or int(o["b"])
+            ]
+            touched = sorted(int(b) for b in (out_vals["_touched"] or []))
+            if quarantine_writer is not None and any(
+                int(st["q"]) for _p, st, _o in per_pid
+            ):
+                quarantine_writer()  # rare path; still before the commit
+            if not touched:
+                # every row was quarantined; nothing to commit
+                import shutil
+
+                shutil.rmtree(out_abs, ignore_errors=True)
+                return None
         bundle = _SideBundle(
             os.path.join("metadata", f"commit-{man['table_uuid'][:8]}-{commit_id}.json")
         )

@@ -25,7 +25,12 @@ from cdc_engine.apply import apply_epoch
 from cdc_engine.config import CdcConfig
 from cdc_engine.timing import phase
 from cdc_engine.lake import SnapLake
-from cdc_engine.source import list_segments, open_stream, read_seq_range
+from cdc_engine.source import (
+    list_segments,
+    open_stream,
+    partition_pid_bounds,
+    read_seq_range,
+)
 
 
 def replay(
@@ -53,6 +58,9 @@ def replay(
     n_epochs = (max_seq + e - 1) // e
 
     committed = lake.committed_epochs()
+    # footer-stat pid bound for the whole WAL (superset of any epoch's):
+    # enables the MoR one-job fast path in apply_epoch; None disables it
+    pid_bounds = partition_pid_bounds(wal_dir, 0, max_seq)
     results = []
     done = 0
     for k in range(n_epochs):
@@ -79,6 +87,7 @@ def replay(
             r = apply_epoch(
                 spark, lake, batch, epoch_id=k, cfg=cfg,
                 expected_seq_range=(k * e, (k + 1) * e),
+                pid_bounds=pid_bounds,
             )
         if r is not None:
             results.append(r)

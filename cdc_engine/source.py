@@ -182,3 +182,40 @@ def open_kafka_stream(
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return parse_kafka_records(reader.load())
+
+
+def partition_pid_bounds(wal_dir: str, lo: int, hi: int) -> tuple[int, int] | None:
+    """Driver-side (min, max) bound on ``source_partition`` values inside
+    the seq window [lo, hi), read from parquet FOOTER statistics only — no
+    Spark job. Used by the MoR replay fast path to unroll per-partition
+    lineage aggregates into the write job's Observation without a
+    pids-discovery job; the bound is a conservative SUPERSET (absent pids
+    produce all-zero rows the lineage builder drops). Returns None when
+    stats are missing or the bound is too wide to unroll — callers then
+    fall back to the stats-job path."""
+    import pyarrow.parquet as pq
+
+    mn = mx = None
+    for first, _ver, path in list_segments(wal_dir):
+        f = pq.ParquetFile(path)
+        md = f.metadata
+        if first >= hi or first + md.num_rows <= lo:
+            continue
+        found = False
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema != "source_partition":
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn = int(st.min) if mn is None else min(mn, int(st.min))
+                mx = int(st.max) if mx is None else max(mx, int(st.max))
+                found = True
+        if not found:
+            return None
+    if mn is None or mx - mn >= 64:
+        return None
+    return mn, mx
