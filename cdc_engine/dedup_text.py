@@ -166,6 +166,16 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
+    # explosion-aware repartition: the banded relation is BYTE-small (md5
+    # band keys compress to a few MB), so AQE's byte-based partition
+    # coalescing collapses the self-join to ONE task — but the join's
+    # OUTPUT is the candidate explosion (millions of pairs) and every
+    # downstream scoring stage inherits its partitioning. An explicit
+    # width pins the join at cluster parallelism (AQE never coalesces a
+    # user-specified repartition), and both join sides share the single
+    # exchange. Measured on the sf0.1 rescore chain: 110s -> 16s.
+    par = banded.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(par, "band", "band_key")
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(
