@@ -46,6 +46,13 @@ class CdcConfig:
     # Defer only for near-unique-key (insert-heavy) streams where the
     # collapse ratio is ~1; keep the default for CDC update streams.
     mor_write_dedup: bool = True
+    # MoR replay epoch pipelining width: deltas never read table state and
+    # the optimistic commit retry already serializes manifest publication,
+    # so adjacent epochs can overlap — one epoch's serial tail (commit,
+    # driver plan work, job-barrier latency) hides under the next epoch's
+    # data-parallel work. 1 disables; COW replay is always sequential (an
+    # epoch's target read depends on the previous commit).
+    mor_pipeline: int = 2
 
     # explicit pre-merge repartition on pmod(xxhash64(url), P); 0 = let AQE decide
     repartition_urls: int = 0

@@ -61,8 +61,7 @@ def replay(
     # footer-stat pid bound for the whole WAL (superset of any epoch's):
     # enables the MoR one-job fast path in apply_epoch; None disables it
     pid_bounds = partition_pid_bounds(wal_dir, 0, max_seq)
-    results = []
-    done = 0
+    todo: list[int] = []
     for k in range(n_epochs):
         if k in committed:
             # same guard as apply_epoch's, applied to the pre-scan skip:
@@ -80,24 +79,55 @@ def replay(
                     f"events_per_epoch."
                 )
             continue
+        todo.append(k)
+        if max_epochs is not None and len(todo) >= max_epochs:
+            break
+
+    def _run_one(k: int):
         batch = read_seq_range(spark, wal_dir, k * e, (k + 1) * e)
         # expected_seq_range: epoch k OWNS this window by definition, so a
         # ledger hit under a different batching is detected without Spark work
         with phase("apply_total"):
-            r = apply_epoch(
+            return apply_epoch(
                 spark, lake, batch, epoch_id=k, cfg=cfg,
                 expected_seq_range=(k * e, (k + 1) * e),
                 pid_bounds=pid_bounds,
             )
-        if r is not None:
-            results.append(r)
-            # MoR hygiene: fold delta files back into base once a bucket
-            # accumulates too many (no-op for COW tables — one file/bucket)
-            with phase("maybe_compact"):
-                lake.maybe_compact(spark, cfg.compact_after_files)
-        done += 1
-        if max_epochs is not None and done >= max_epochs:
-            break
+
+    results = []
+    width = max(1, cfg.mor_pipeline) if lake.manifest().get("mode", "cow") == "mor" else 1
+    if width <= 1 or len(todo) <= 1:
+        for k in todo:
+            r = _run_one(k)
+            if r is not None:
+                results.append(r)
+                # MoR hygiene: fold delta files back into base once a bucket
+                # accumulates too many (no-op for COW tables — one file/bucket)
+                with phase("maybe_compact"):
+                    lake.maybe_compact(spark, cfg.compact_after_files)
+    else:
+        # PIPELINED MoR replay: a delta epoch never reads table state, so
+        # adjacent epochs are data-independent; only manifest publication
+        # serializes, and the optimistic commit retry (test_commit_race)
+        # already rebases losers. Overlapping epochs hides each epoch's
+        # serial tail (driver plan work, job-barrier latency, commit
+        # fsyncs) under the next epoch's data-parallel work — at 2 epochs
+        # this roughly halves the replay's total serial term, the quantity
+        # the N->4N scaling criterion is gated on. Epoch order of COMMITS
+        # may interleave; final state is order-independent (scan-time LWW
+        # judges by (warc_ts, seq), and ledger entries are keyed).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=width) as pool:
+            futs = [(k, pool.submit(_run_one, k)) for k in todo]
+            for _k, f in futs:
+                r = f.result()
+                if r is not None:
+                    results.append(r)
+        # compaction runs once after the pipeline drains (a concurrent
+        # compaction commit would only add avoidable manifest races)
+        with phase("maybe_compact"):
+            lake.maybe_compact(spark, cfg.compact_after_files)
     return results
 
 
