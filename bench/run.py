@@ -102,6 +102,16 @@ def run_child(master: str, mode: str, wal: str, tmp: str, epoch: int, trial: int
         return json.load(f)
 
 
+def _letters(i: int) -> str:
+    """0 -> A, 25 -> Z, 26 -> AA, 27 -> AB ... (spreadsheet columns)."""
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(ord("A") + r) + s
+    return s
+
+
 def shutil_which(cmd: str):
     import shutil
 
@@ -208,7 +218,9 @@ def main() -> None:
             history = json.load(f)
     history.append(
         {
-            "session": f"run {chr(ord('A') + len(history))}",
+            # spreadsheet-style letters: A..Z, AA, AB, ... (a plain
+            # chr() overflowed into '[' after 26 sessions)
+            "session": "run " + _letters(len(history)),
             "round": a.round,
             "mor_raw": round(eff["mor"], 3),
             "mor_norm": round(min(1.0, eff["mor"] / hw), 3),
