@@ -45,6 +45,12 @@ def _verify_ledger_hit(
     batch_range: tuple[int, int] | None,
     expected_window: tuple[int, int] | None,
 ) -> None:
+    """When both bounds are given (streaming fast path: window AND exact
+    batch range derived from the trigger files' footers), both directions
+    are enforced — entry inside the window AND batch inside the entry —
+    i.e. range equality up to bounds. A one-directional check would let a
+    re-batched stream (changed maxFilesPerTrigger over a stale checkpoint)
+    silently skip the half of a wider batch the entry never covered."""
     e_lo, e_hi = entry.get("first_seq"), entry.get("last_seq")
     if expected_window is not None:
         lo, hi = expected_window
@@ -56,7 +62,6 @@ def _verify_ledger_hit(
                 f"skip (data loss). Replay into a fresh lake or restore the "
                 f"original events_per_epoch."
             )
-        return
     if batch_range is not None:
         lo, hi = batch_range
         if e_lo is None or e_hi is None or lo < e_lo or hi > e_hi:
@@ -77,15 +82,24 @@ def apply_epoch(
     quarantine_dir: str | None = None,
     expected_seq_range: tuple[int, int] | None = None,
     pid_bounds: tuple[int, int] | None = None,
+    batch_seq_range: tuple[int, int] | None = None,
 ) -> dict[str, Any] | None:
     """Apply one epoch; returns commit stats, or None if the epoch was
     already committed / the batch is empty (both are safe no-ops).
 
     ``expected_seq_range``: the [lo, hi) seq window this epoch id is
     DEFINED to own (the replay path knows it without any Spark work);
-    ledger hits are verified against it. Streaming callers leave it None
-    and a ledger hit is verified against the batch's actual min/max seq
-    (one narrow aggregate on the rare re-delivery path only).
+    ledger hits are verified against it. Streaming callers that cannot
+    derive it leave it None and a ledger hit is verified against the
+    batch's actual min/max seq (one narrow aggregate on the rare
+    re-delivery path only).
+
+    ``batch_seq_range``: the batch's EXACT inclusive (min_seq, max_seq),
+    when the caller knows it without a Spark job (streaming foreachBatch
+    derives it from the trigger files' parquet footers —
+    source.footer_epoch_bounds). Passed together with
+    ``expected_seq_range`` it upgrades the no-job ledger check to range
+    equality, preserving the slow path's contents-were-applied guarantee.
 
     ``pid_bounds``: optional (min, max) bound on source_partition values
     (from WAL parquet footer stats — source.partition_pid_bounds). With it
@@ -103,7 +117,7 @@ def apply_epoch(
     if entry is not None and expected_seq_range is not None:
         # J4 idempotence fast-path: no Spark work — the expected window is
         # known a priori, so the ledger entry can be verified immediately
-        _verify_ledger_hit(entry, epoch_id, None, expected_seq_range)
+        _verify_ledger_hit(entry, epoch_id, batch_seq_range, expected_seq_range)
         return None
 
     df = apply_mapping(batch_df, cfg.column_mapping)

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cdc_engine.dedup import lww_dedup
 from cdc_engine.dedup_text import (
+    doc_tokens,
     exact_dedup_canonical,
     exact_dedup_stats,
     jaccard_on_lsh,
@@ -646,9 +647,21 @@ def q_winnow_fingerprints(spark, sf):
 def q_edit_distance_rescore(spark, sf):
     """Near-dup rescoring: exact Levenshtein distance over 64-char prefixes
     of LSH candidate pairs (the cheap post-filter after candidate
-    generation — never all-pairs). Keeps pairs with prefix distance <= 16."""
+    generation — never all-pairs). Keeps pairs with prefix distance <= 16.
+
+    Feeds the shared DISTINCT token relation into the signature stage
+    (round-4 verdict #2) — semantically the right single tokenization
+    codepath, though the measured A/B (BENCH/ANALYSIS_r5.md §1) shows the
+    entry's cost was never tokenization: this synthetic corpus is so
+    self-similar that LSH banding barely discriminates (10.6M candidate
+    pairs of 12.5M possible at sf0.1), so the wall is the levenshtein over
+    the candidate explosion. The effective lever is the THRESHOLDED
+    levenshtein (Ukkonen banded DP, early exit past the cutoff): for kept
+    rows it returns the true distance, so `lev(a,b,16) >= 0` is
+    row-for-row identical to `lev(a,b) <= 16` and the plain-levenshtein
+    DuckDB oracle is unchanged. Measured: 25.1 -> 13.8 s at sf0.1."""
     docs = t(spark, sf, "documents")
-    cand = lsh_candidate_pairs(docs, k=8, band_rows=2)
+    cand = lsh_candidate_pairs(docs, k=8, band_rows=2, tok=doc_tokens(docs))
     pre = docs.select("doc_id", F.substring("text", 1, 64).alias("p"))
     a, b = pre.alias("a"), pre.alias("b")
     return (
@@ -656,9 +669,9 @@ def q_edit_distance_rescore(spark, sf):
         .join(b, F.col("db") == F.col("b.doc_id"))
         .select(
             "da", "db",
-            F.levenshtein(F.col("a.p"), F.col("b.p")).alias("prefix_edit"),
+            F.levenshtein(F.col("a.p"), F.col("b.p"), 16).alias("prefix_edit"),
         )
-        .where(F.col("prefix_edit") <= 16)
+        .where(F.col("prefix_edit") >= 0)
         .transform(_p, "da", "db")
     )
 

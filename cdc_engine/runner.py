@@ -26,10 +26,12 @@ from cdc_engine.config import CdcConfig
 from cdc_engine.timing import phase
 from cdc_engine.lake import SnapLake
 from cdc_engine.source import (
+    footer_epoch_bounds,
     list_segments,
     open_stream,
     partition_pid_bounds,
     read_seq_range,
+    trigger_files,
 )
 
 
@@ -148,7 +150,27 @@ def ingest_stream(
     stream = open_stream(spark, wal_dir, max_files_per_trigger=max_files_per_trigger)
 
     def _apply(batch_df, epoch_id: int):
-        r = apply_epoch(spark, lake, batch_df, epoch_id=int(epoch_id), cfg=cfg)
+        # Streaming fast path (round-4 verdict task 2): a file-source
+        # micro-batch is an explicit file list (recorded in the streaming
+        # checkpoint's source log during planning), so its seq window and
+        # pid universe come from parquet footers with NO Spark job — the
+        # same inputs the replay path computes a priori. A MoR epoch then
+        # takes the one-job fast path (stats/lineage/touched buckets ride
+        # the write job's Observations) instead of paying the pre-commit
+        # stats barrier per trigger; ledger hits are verified by range
+        # EQUALITY (window + exact batch range), preserving the slow
+        # path's contents-were-applied guarantee. A missing log or
+        # unreadable footers degrade to the stats-job path, never error.
+        seq_rng = win = pid_b = None
+        files = trigger_files(checkpoint_dir, int(epoch_id))
+        if files:
+            seq_rng, pid_b = footer_epoch_bounds(files)
+            if seq_rng is not None:
+                win = (seq_rng[0], seq_rng[1] + 1)
+        r = apply_epoch(
+            spark, lake, batch_df, epoch_id=int(epoch_id), cfg=cfg,
+            expected_seq_range=win, pid_bounds=pid_b, batch_seq_range=seq_rng,
+        )
         if r is not None:
             lake.maybe_compact(spark, cfg.compact_after_files)
 

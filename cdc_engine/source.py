@@ -184,6 +184,32 @@ def open_kafka_stream(
     return parse_kafka_records(reader.load())
 
 
+def _footer_minmax(md, col_name: str) -> tuple[int, int] | None:
+    """(min, max) of an integer column across one file's row groups from
+    parquet FOOTER statistics. Returns None — meaning "cannot bound" — when
+    the column is absent, any row-group stats are missing, or any row group
+    reports (or cannot rule out) NULLs: NULL values are legal data (the
+    apply path routes a NULL source_partition to a pid=None lineage slot)
+    but invisible to a min/max bound, and claiming completeness over
+    [mn, mx] would trip merge's sum(seen) != total consistency check after
+    the write (round-4 ADVICE, source.py)."""
+    mn = mx = None
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            if c.path_in_schema != col_name:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                return None
+            if not st.has_null_count or st.null_count > 0:
+                return None
+            mn = int(st.min) if mn is None else min(mn, int(st.min))
+            mx = int(st.max) if mx is None else max(mx, int(st.max))
+    return None if mn is None else (mn, mx)
+
+
 def partition_pid_bounds(wal_dir: str, lo: int, hi: int) -> tuple[int, int] | None:
     """Driver-side (min, max) bound on ``source_partition`` values inside
     the seq window [lo, hi), read from parquet FOOTER statistics only — no
@@ -191,31 +217,99 @@ def partition_pid_bounds(wal_dir: str, lo: int, hi: int) -> tuple[int, int] | No
     lineage aggregates into the write job's Observation without a
     pids-discovery job; the bound is a conservative SUPERSET (absent pids
     produce all-zero rows the lineage builder drops). Returns None when
-    stats are missing or the bound is too wide to unroll — callers then
-    fall back to the stats-job path."""
+    stats are missing, any overlapping row group holds (or cannot rule
+    out) NULL pids, or the bound is too wide to unroll — callers then fall
+    back to the stats-job path."""
     import pyarrow.parquet as pq
 
     mn = mx = None
     for first, _ver, path in list_segments(wal_dir):
-        f = pq.ParquetFile(path)
-        md = f.metadata
+        md = pq.ParquetFile(path).metadata
         if first >= hi or first + md.num_rows <= lo:
             continue
-        found = False
-        for g in range(md.num_row_groups):
-            rg = md.row_group(g)
-            for i in range(rg.num_columns):
-                c = rg.column(i)
-                if c.path_in_schema != "source_partition":
-                    continue
-                st = c.statistics
-                if st is None or not st.has_min_max:
-                    return None
-                mn = int(st.min) if mn is None else min(mn, int(st.min))
-                mx = int(st.max) if mx is None else max(mx, int(st.max))
-                found = True
-        if not found:
+        b = _footer_minmax(md, "source_partition")
+        if b is None:
             return None
+        mn = b[0] if mn is None else min(mn, b[0])
+        mx = b[1] if mx is None else max(mx, b[1])
     if mn is None or mx - mn >= 64:
         return None
     return mn, mx
+
+
+def trigger_files(checkpoint_dir: str, batch_id: int) -> list[str]:
+    """The files a file-source micro-batch reads, from the streaming
+    checkpoint's source metadata log (``<ckpt>/sources/0/<batchId>`` — one
+    JSON line per file; Spark writes it during batch PLANNING, so it is
+    on disk before foreachBatch runs). Every N batches Spark compacts the
+    log into ``<batchId>.compact`` holding all entries so far, each tagged
+    with its batchId — filter to this batch's. Returns [] when the log is
+    absent/unreadable (caller falls back to the stats-job path).
+
+    This exists because ``batch_df.inputFiles()`` returns [] for a
+    streaming-relation DataFrame — the micro-batch is not backed by a file
+    index the way a batch read is."""
+    import json
+
+    base = os.path.join(checkpoint_dir, "sources", "0")
+    for name in (str(batch_id), f"{batch_id}.compact"):
+        p = os.path.join(base, name)
+        if not os.path.exists(p):
+            continue
+        out = []
+        try:
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("v"):
+                        continue
+                    e = json.loads(line)
+                    if int(e.get("batchId", batch_id)) == batch_id:
+                        out.append(e["path"])
+        except (OSError, ValueError):
+            return []
+        return out
+    return []
+
+
+def footer_epoch_bounds(
+    paths: list[str],
+) -> tuple[tuple[int, int] | None, tuple[int, int] | None]:
+    """Driver-side ((min_seq, max_seq), pid_bounds) for an explicit list of
+    WAL segment files — the streaming foreachBatch analog of
+    ``partition_pid_bounds``: a file-source micro-batch IS a file list
+    (``batch_df.inputFiles()``), so its seq window and pid universe come
+    straight from parquet footers with no Spark job, which is what lets a
+    *streaming* MoR epoch take the same one-job fast path as replay
+    (round-4 verdict task 2 — the pre-commit stats barrier was the largest
+    remaining serial term on the tail-mode path).
+
+    Returns (None, None) when any file's seq stats are unusable (the
+    caller then runs the stats-job path); pid bounds independently degrade
+    to None (fast path off, exact-window ledger check still available)."""
+    import pyarrow.parquet as pq
+    from urllib.parse import urlparse
+
+    seq_b = pid_b = None
+    pids_ok = True
+    for p in paths:
+        if p.startswith("file:"):
+            p = urlparse(p).path
+        try:
+            md = pq.ParquetFile(p).metadata
+        except Exception:
+            return None, None
+        s = _footer_minmax(md, "seq")
+        if s is None:
+            return None, None
+        seq_b = s if seq_b is None else (min(seq_b[0], s[0]), max(seq_b[1], s[1]))
+        b = _footer_minmax(md, "source_partition")
+        if b is None:
+            pids_ok = False
+        elif pids_ok:
+            pid_b = b if pid_b is None else (min(pid_b[0], b[0]), max(pid_b[1], b[1]))
+    if seq_b is None:
+        return None, None
+    if not pids_ok or pid_b is None or pid_b[1] - pid_b[0] >= 64:
+        pid_b = None
+    return seq_b, pid_b

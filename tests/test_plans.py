@@ -101,6 +101,23 @@ def test_jaccard_chain_reuses_tokenization(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_edit_rescore_shares_exchange_and_bounds_levenshtein(spark):
+    """edit_distance_rescore (round-4 verdict #2): the signature stage
+    takes the shared distinct token relation, the banded self-join reuses
+    one exchange, and the candidate explosion is scored with the
+    THRESHOLDED levenshtein (banded DP early exit) — the measured 1.8x
+    lever on this entry — never a cartesian or a Python eval node."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(QUERIES["edit_distance_rescore"](spark, SF), mode="simple")
+        assert "ReusedExchange" in p, p
+        assert "CartesianProduct" not in p, p
+        assert "EvalPython" not in p, p
+        assert "levenshtein" in p and "Some(16)" in p, p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def _top_physical_node(p: str) -> str:
     for line in p.splitlines():
         s = line.strip()
