@@ -349,14 +349,53 @@ def connected_components(
     truncated to a scan of the checkpoint files), so no CacheManager
     entry or persisted RDD outlives the call — on a cluster the
     configured checkpoint dir (HDFS/S3) holds the star forest; locally a
-    per-process temp dir is installed on first use. The edge relation's
-    (possibly expensive) lineage is evaluated exactly once, in round 1.
+    per-process temp dir is installed on first use and removed at process
+    exit. Each round's checkpoint files are DELETED as soon as the next
+    round supersedes them (round-4 ADVICE: they previously accumulated
+    for the life of the process — one rdd-* dir per round per call), so
+    disk held at any moment is O(current edge set), not O(rounds). Only
+    the returned label relation's checkpoint outlives the call. The edge
+    relation's (possibly expensive) lineage is evaluated exactly once,
+    in round 1.
     """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
     sc = edges.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
+        import atexit
         import tempfile
 
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="cdc_cc_ckpt_"))
+        d = tempfile.mkdtemp(prefix="cdc_cc_ckpt_")
+        sc.setCheckpointDir(d)
+        atexit.register(_shutil.rmtree, d, ignore_errors=True)
+
+    ckpt_root = sc.getCheckpointDir()
+    # local paths only: on HDFS/S3 roots per-round deletion is skipped
+    # (the cluster operator owns that dir's lifecycle)
+    local_root = None
+    if ckpt_root and (ckpt_root.startswith("/") or ckpt_root.startswith("file:")):
+        from urllib.parse import urlparse
+
+        local_root = urlparse(ckpt_root).path if ckpt_root.startswith("file:") else ckpt_root
+
+    def _rdd_dirs() -> set[str]:
+        if local_root is None:
+            return set()
+        # sc.getCheckpointDir() already includes the per-context uuid level
+        # (rdd-* directly beneath); glob one level down too for roots set
+        # by the user above the uuid
+        return set(_glob.glob(_os.path.join(local_root, "rdd-*"))) | set(
+            _glob.glob(_os.path.join(local_root, "*", "rdd-*"))
+        )
+
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, set[str]]:
+        """checkpoint + the set of rdd-* dirs it created (snapshot diff —
+        this engine has no concurrent checkpoint writers)."""
+        before = _rdd_dirs()
+        out = df.checkpoint(eager=True)
+        return out, _rdd_dirs() - before
 
     # evaluate the (possibly expensive) edge lineage exactly once; `nodes`
     # and the round-1 edge set are both derived from this cached projection
@@ -370,18 +409,22 @@ def connected_components(
     # and Catalyst tree handling blows up by round ~6 (measured); the
     # checkpoint truncates the plan to a scan of the round's edge files —
     # the standard iterative-graph pattern (GraphX does the same)
-    cur = ein.where(F.col("u") != F.col("v")).distinct().checkpoint(eager=True)
+    cur, cur_files = _ckpt(ein.where(F.col("u") != F.col("v")).distinct())
     n_cur = cur.count()
     try:
         for it in range(max_iter):
-            nxt = _small_star(_large_star(cur)).checkpoint(eager=True)
+            nxt, nxt_files = _ckpt(_small_star(_large_star(cur)))
             n_nxt = nxt.count()
             # converged iff the (distinct, deduped) edge sets are equal:
             # equal cardinality and empty one-sided difference
             changed = (n_nxt != n_cur) or (
                 nxt.join(cur, ["u", "v"], "left_anti").count() > 0
             )
-            cur, n_cur = nxt, n_nxt
+            # the convergence check above was the last reader of `cur`:
+            # its checkpoint files are superseded — reclaim them now
+            for d in cur_files:
+                _shutil.rmtree(d, ignore_errors=True)
+            cur, n_cur, cur_files = nxt, n_nxt, nxt_files
             if not changed:
                 if stats is not None:
                     stats["rounds"] = it + 1
@@ -399,6 +442,9 @@ def connected_components(
                     )
                     .checkpoint(eager=True)
                 )
+                # lab is materialized — the star forest's files are done
+                for d in cur_files:
+                    _shutil.rmtree(d, ignore_errors=True)
                 return lab
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     finally:

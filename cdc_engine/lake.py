@@ -681,6 +681,7 @@ class SnapLake:
 
         mode = man.get("mode", "cow")
         obs = obs_pids = None
+        carried_rows = 0  # COW only: target rows rewritten alongside the batch
         if mode == "mor":
             # merge-on-read: the deduped batch IS the delta — no target read,
             # no join. Tombstones ride along as _deleted rows; scan collapses.
@@ -738,7 +739,14 @@ class SnapLake:
                 F.col("_bucket"),
             )
         else:
-            tgt = self.scan_internal(spark, buckets=set(touched))
+            # resolve the covering file list once: it feeds both the target
+            # scan and the fanout estimate (a COW rewrite emits batch rows
+            # PLUS every carried row from these files — sizing class files
+            # off batch rows alone made a small epoch on a large table
+            # write a few oversized files; round-4 ADVICE)
+            tgt_files = self._files(man, set(touched))
+            carried_rows = sum(int(f.get("rows") or 0) for f in tgt_files)
+            tgt = self.scan_internal(spark, files=tgt_files)
             # target conformed to the evolved schema (old snapshot may be narrower)
             tgt = conform(tgt, _internal_schema(new_schema))
 
@@ -868,6 +876,10 @@ class SnapLake:
         # ~64 files, not 4096 tiny ones)
         if est_rows is None and input_stats is not None:
             est_rows = sum(int(st["rows_in"]) for st in input_stats)
+        if est_rows is not None and carried_rows:
+            # a COW rewrite emits the carried target rows too — without
+            # them the modulus tracks batch size, not bytes written
+            est_rows += carried_rows
         ft = self._write_modulus(n_buckets, est_rows)
         if ft < n_buckets:
             result = result.withColumn(

@@ -120,16 +120,27 @@ def replay(
         # judges by (warc_ts, seq), and ledger entries are keyed).
         from concurrent.futures import ThreadPoolExecutor
 
+        # periodic compaction (round-4 ADVICE): deferring maybe_compact to
+        # one pass after the full drain let delta files accumulate without
+        # bound across a long replay — every commit rewrites its file-group
+        # lists, so metadata work grew O(files)/commit, O(epochs^2) total,
+        # and the compact_after_files bound didn't hold mid-replay. Epochs
+        # are therefore submitted in chunks of `stride`; at each chunk
+        # boundary the pool has drained, so compaction is serialized with
+        # the in-flight commits by construction (never racing an epoch's
+        # optimistic manifest publication) and per-bucket file count stays
+        # <= compact_after_files + stride throughout. The boundary costs
+        # one pipeline bubble (~one epoch's serial tail) per stride epochs.
+        stride = max(2 * width, cfg.compact_after_files)
         with ThreadPoolExecutor(max_workers=width) as pool:
-            futs = [(k, pool.submit(_run_one, k)) for k in todo]
-            for _k, f in futs:
-                r = f.result()
-                if r is not None:
-                    results.append(r)
-        # compaction runs once after the pipeline drains (a concurrent
-        # compaction commit would only add avoidable manifest races)
-        with phase("maybe_compact"):
-            lake.maybe_compact(spark, cfg.compact_after_files)
+            for c0 in range(0, len(todo), stride):
+                futs = [(k, pool.submit(_run_one, k)) for k in todo[c0 : c0 + stride]]
+                for _k, f in futs:
+                    r = f.result()
+                    if r is not None:
+                        results.append(r)
+                with phase("maybe_compact"):
+                    lake.maybe_compact(spark, cfg.compact_after_files)
     return results
 
 

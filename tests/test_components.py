@@ -85,6 +85,35 @@ def test_no_cache_left_behind(spark):
     assert after == before, f"leaked {after - before} persisted RDDs"
 
 
+def test_checkpoint_files_reclaimed_per_round(spark):
+    """Round-4 ADVICE: superseded star-round checkpoints must be deleted
+    inside the loop, not accumulated for the process lifetime — after the
+    call only the returned label relation's checkpoint remains (one rdd-*
+    dir), regardless of how many rounds ran."""
+    import glob
+    import os
+
+    n = 256  # path graph -> several rounds, several round checkpoints
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    # ensure the auto checkpoint dir exists (first-use install)
+    connected_components(spark.createDataFrame([(1, 2)], ["src", "dst"]))
+    root = spark.sparkContext.getCheckpointDir()
+    assert root is not None
+    root = root.removeprefix("file:")
+
+    def rdd_dirs():
+        return set(glob.glob(os.path.join(root, "rdd-*"))) | set(
+            glob.glob(os.path.join(root, "*", "rdd-*"))
+        )
+
+    before = rdd_dirs()
+    lab = connected_components(df)
+    left = rdd_dirs() - before
+    assert len(left) <= 1, f"{len(left)} checkpoint dirs left behind: {left}"
+    # the surviving checkpoint still backs the returned labels
+    assert lab.count() == n
+
+
 def test_self_loop_node_labels_itself(spark):
     got = _cc(spark, [(1, 2), (7, 7)])
     assert got == {1: 1, 2: 1, 7: 7}

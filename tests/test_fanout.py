@@ -81,6 +81,37 @@ def test_cow_second_epoch_replaces_covering_class_files(spark, tmp_path, wal_sma
     assert scan.count() == len(oracle)
 
 
+def test_cow_fanout_estimate_includes_carried_rows(
+    spark, tmp_path, wal_small, monkeypatch
+):
+    """Round-4 ADVICE: a COW rewrite emits the carried target rows too, so
+    the fanout estimate must be batch + covered-file rows — sizing off the
+    batch alone lets a small epoch on a large table pick a small modulus
+    and write a few oversized class files."""
+    wal_dir, _, _ = wal_small
+    lake = SnapLake.create(
+        os.path.join(str(tmp_path), "lakecarry"), PAGES_SCHEMA_V1,
+        n_buckets=512, mode="cow",
+    )
+    cfg = CdcConfig(events_per_epoch=2_000, n_buckets=512)
+    replay(spark, lake, wal_dir, cfg, max_epochs=1)
+    n0, _ = lake.state_hash(spark)
+
+    seen = {}
+    real = SnapLake._write_modulus
+
+    def spy(n_buckets, est_rows):
+        seen["est"] = est_rows
+        return real(n_buckets, est_rows)
+
+    monkeypatch.setattr(SnapLake, "_write_modulus", staticmethod(spy))
+    replay(spark, lake, wal_dir, cfg, max_epochs=1)
+    monkeypatch.undo()
+    # epoch 1's batch is <= 2000 rows; nearly every class file is covered,
+    # so the estimate must exceed the epoch-0 table size alone
+    assert seen["est"] is not None and seen["est"] > n0, (seen, n0)
+
+
 def test_large_write_keeps_per_bucket_layout(spark, tmp_path):
     """est_rows >= n_buckets * target keeps the steady-state one-file-per-
     bucket layout (the modulus function, unit-level)."""
