@@ -132,6 +132,61 @@ def apply_epoch(
             expected_seq_range, pid_bounds, man,
         )
 
+    prep = prepare_epoch(
+        spark, lake, df, epoch_id, cfg, quarantine_dir, man=man, entry=entry
+    )
+    if prep is None:
+        return None
+    return commit_prepared(spark, lake, prep)
+
+
+class PreparedEpoch:
+    """Everything the stats-job path computes about one epoch BEFORE the
+    merge — all of it a pure function of the batch contents, independent
+    of table state. Produced by ``prepare_epoch`` (runs the combined stats
+    job + rare quarantine write), consumed by ``commit_prepared`` (runs
+    the state-dependent merge/commit). The split exists so a COW replay
+    can overlap epoch k+1's preparation with epoch k's merge (round-4
+    verdict task 4): COW merges must stay strictly ordered (the target
+    read depends on the previous commit), but nothing in here does."""
+
+    __slots__ = (
+        "epoch_id", "df", "persisted", "input_stats", "touched",
+        "mor_lineage_stats",
+    )
+
+    def __init__(self, epoch_id, df, persisted, input_stats, touched, mor_lineage_stats):
+        self.epoch_id = epoch_id
+        self.df = df
+        self.persisted = persisted
+        self.input_stats = input_stats
+        self.touched = touched
+        self.mor_lineage_stats = mor_lineage_stats
+
+
+def prepare_epoch(
+    spark: SparkSession,
+    lake: SnapLake,
+    df: DataFrame,
+    epoch_id: int,
+    cfg: CdcConfig,
+    quarantine_dir: str | None,
+    man: dict | None = None,
+    entry: dict | None = ...,
+    materialize: bool = False,
+) -> PreparedEpoch | None:
+    """The state-independent half of the stats-job apply path: combined
+    stats aggregate, quarantine write, LWW dedup plan, persist. Returns
+    None for empty/already-committed epochs (after verifying a ledger hit
+    against the batch's actual seq range). ``materialize`` additionally
+    forces the persisted winners to materialize NOW (one count action) so
+    a prefetching caller pulls the dedup shuffle into the overlap window,
+    not just the stats job."""
+    if man is None:
+        man = lake.manifest()
+    if entry is ...:
+        entry = lake.ledger_entry(epoch_id, man)
+
     # P4: null-safe key guard — LWW is undefined for null url/warc_ts/seq
     valid = F.col("url").isNotNull() & F.col("warc_ts").isNotNull() & F.col("seq").isNotNull()
 
@@ -254,15 +309,34 @@ def apply_epoch(
     if persisted is None:
         df = df.persist()
         persisted = df
+    if materialize:
+        # prefetch mode: pull the dedup shuffle (WAL read + LWW window +
+        # cache write) into the caller's overlap window with one count
+        # action; the later merge's write job then reads straight from
+        # the cache
+        with phase("prefetch_materialize"):
+            df.count()
+    return PreparedEpoch(
+        epoch_id, df, persisted, input_stats, touched, mor_lineage_stats
+    )
+
+
+def commit_prepared(
+    spark: SparkSession, lake: SnapLake, prep: PreparedEpoch
+) -> dict[str, Any] | None:
+    """State-DEPENDENT half: the merge/commit of a prepared epoch. For COW
+    this reads the target table, so it must run strictly after the
+    previous epoch's commit."""
     try:
         with phase("merge_total"):
             return lake.merge(
-                spark, df, epoch_id, input_stats=input_stats, touched_buckets=touched,
-                mor_lineage_stats=mor_lineage_stats,
+                spark, prep.df, prep.epoch_id, input_stats=prep.input_stats,
+                touched_buckets=prep.touched,
+                mor_lineage_stats=prep.mor_lineage_stats,
             )
     finally:
-        if persisted is not None:
-            persisted.unpersist()
+        if prep.persisted is not None:
+            prep.persisted.unpersist()
 
 
 _VALID_SQL = "url is not null and warc_ts is not null and seq is not null"

@@ -54,6 +54,14 @@ class CdcConfig:
     # epoch's target read depends on the previous commit).
     mor_pipeline: int = 2
 
+    # COW replay prefetch depth: overlap epoch k+1's state-INDEPENDENT
+    # phases (WAL scan, combined stats job, LWW dedup shuffle + cache
+    # materialization) with epoch k's merge/commit. Unlike MoR pipelining,
+    # COW merges themselves stay strictly ordered — the target read
+    # depends on the previous commit — so only the pre-merge phases
+    # overlap, gated on that state-read barrier. 0 disables.
+    cow_prefetch: int = 1
+
     # explicit pre-merge repartition on pmod(xxhash64(url), P); 0 = let AQE decide
     repartition_urls: int = 0
 

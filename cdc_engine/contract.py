@@ -34,6 +34,7 @@ from cdc_engine.dedup_text import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_candidate_pairs,
     simhash_fingerprints,
 )
 from cdc_engine.multimodal import (
@@ -881,6 +882,16 @@ def q_simhash_fingerprints(spark, sf):
     return _p(simhash_fingerprints(t(spark, sf, "documents")), "doc_id")
 
 
+def q_simhash_candidates(spark, sf):
+    """Banded SimHash Hamming-ball candidate join (4 bands x 12 bits,
+    Hamming <= 3 — exact recall by pigeonhole). Completes the simhash
+    family: fingerprints -> candidates, parallel to minhash -> LSH."""
+    return _p(
+        simhash_candidate_pairs(t(spark, sf, "documents"), bands=4, max_hamming=3),
+        "da", "db",
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Real-decoder multimodal featurization (round-3 verdict task 5): a
     REAL BMP / WAV container is synthesized per document (payload bytes =
@@ -1440,6 +1451,23 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         ORDER BY d.doc_id
     """,
+    "simhash_candidates": f"""
+        WITH {_TOK_CTE},
+        s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id),
+        fp AS (SELECT d.doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash
+               FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+               WHERE d.text IS NOT NULL),
+        b AS (SELECT doc_id, simhash, k.band,
+                     (simhash >> (12 * k.band)) & 4095 AS key
+              FROM fp, (SELECT UNNEST(range(0, 4)) AS band) k),
+        p AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                     x.simhash AS fa, y.simhash AS fb
+              FROM b x JOIN b y ON x.band = y.band AND x.key = y.key
+                                AND x.doc_id < y.doc_id)
+        SELECT da, db, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+        FROM p WHERE bit_count(xor(fa, fb)) <= 3
+        ORDER BY da, db
+    """,
     # static, path-free: self-selects the right run via the data-derived sf
     # tag; DISTINCT collapses the (identical) rows if two sf-dir aliases of
     # the same dataset both materialized oracle files
@@ -1675,59 +1703,60 @@ for _k in ("lsh_candidates", "jaccard_on_lsh", "edit_distance_rescore", "neardup
     ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{LSH}", _LSH_CTES)
 
 # Dict ORDER is deliberate: the driver harness records exactly the first 50
-# entries per round. Round-4 rotation policy (round-3 verdict task 6): every
-# query must have a driver row dated within the last two rounds. Head =
-# flagship (always) + the NEW real-decoder query + the 14 entries whose only
-# driver row was r02 (rotated back in) + everything else; tail = 14 entries
-# with fresh r03 driver rows that can sit out exactly one round, each with a
-# family-coverage reason:
-#   * cube_pricing        — rollup_pricing keeps grouping-sets driver-checked
-#   * median_by_type      — approx_quantiles_value rotates in (percentiles)
-#   * range_join_clicks   — asof_prior_click keeps time-predicate joins
-#   * lww_dedup_latest    — cdc_final_state runs the same LWW window
-#   * hot_keys_topk       — tpch_q3_topk keeps orderBy+limit top-k
-#   * distinct_exact      — dedup_exact_stats + approx_distinct_users cover
-#                           exact countDistinct
-#   * running_window      — sliding_window_counts rotates in; session_windows
-#                           keeps running-frame sums
-#   * except_diff / intersect_users — set-op family sits out one round
-#                           (both r03-green, pure exceptAll/intersect)
-#   * udaf_value_by_type  — the UDAF surface is pytest-covered; sits out
-#   * semi_join_customers — broadcast_dim_join keeps the join family
-#   * tpch_q14_promo      — q1/q3/q5 keep TPC-H driver-checked
-#   * window_rank_sources — rank() sits out; window family stays via
-#                           session_windows
-#   * stats_moments_value — r03-green; epoch_stats keeps multi-agg
-# All 64 remain covered by the local dtype-sensitive DuckDB mirror
+# entries per round. Rotation policy (round-3 verdict task 6, applied every
+# round since): every query must have a driver row dated within the last two
+# rounds. Round-5 window: flagship (always) + simhash_candidates (NEW — needs
+# its first driver row) + the 14 entries whose latest driver row is r03
+# (rotated back in) + the rest; tail = 15 entries with fresh r04 driver rows
+# that sit out exactly one round, each with a family-coverage reason:
+#   * minhash_signatures  — lsh_candidates runs the signature stage end-to-end
+#   * ngram_jaccard       — jaccard_on_lsh keeps Jaccard scoring (ngram is
+#                           the documented audit form)
+#   * winnow_fingerprints — doc_fingerprints keeps the fingerprint family
+#   * token_counts        — repetition_stats + quality_scores keep
+#                           token-level text stats
+#   * scalar_url_extract  — json_props_extract keeps string-extraction scalars
+#   * time_bucket_hourly  — sliding_window_counts keeps event-time bucketing
+#   * approx_quantiles_value — median_by_type rotates back in (percentiles)
+#   * stratified_sample   — dataset_splits keeps deterministic sampling
+#   * ann_srp_buckets     — embedding_neardup_pairs exercises SRP bucketing
+#   * simsearch_brute_topk — ann_ivf_query_topk keeps vector top-k
+#   * lag_gap_audit       — window_rank_sources + running_window rotate back in
+#   * dedup_exact_stats   — distinct_exact rotates back in;
+#                           dedup_canonical_map keeps exact dedup
+#   * pivot_daily_event_types — cube_pricing rotates back in (wide grouping)
+#   * boilerplate_share   — vocab_df_topk keeps shingle/DF aggregation
+#   * asof_prior_click    — range_join_clicks rotates back in (time joins)
+# All 65 remain covered by the local dtype-sensitive DuckDB mirror
 # (tests/test_contract.py) regardless of the driver cap.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_replay_mini": q_cdc_replay_mini,
-    "multimodal_features": q_multimodal_features,
-    # ---- r02-only driver rows, rotated back into the window --------------
-    "minhash_signatures": q_minhash_signatures,
-    "lsh_candidates": q_lsh_candidates,
-    "ann_srp_buckets": q_ann_srp_buckets,
-    "simsearch_brute_topk": q_simsearch_brute_topk,
-    "ngram_jaccard": q_ngram_jaccard,
-    "dedup_exact_stats": q_dedup_exact_stats,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "token_counts": q_token_counts,
-    "scalar_url_extract": q_scalar_url_extract,
-    "lag_gap_audit": q_lag_gap_audit,
-    "time_bucket_hourly": q_time_bucket_hourly,
-    "sliding_window_counts": q_sliding_window_counts,
-    "approx_quantiles_value": q_approx_quantiles_value,
-    "stratified_sample": q_stratified_sample,
+    "simhash_candidates": q_simhash_candidates,
+    # ---- r03-only driver rows, rotated back into the window --------------
+    "cube_pricing": q_cube_pricing,
+    "median_by_type": q_median_by_type,
+    "range_join_clicks": q_range_join_clicks,
+    "lww_dedup_latest": q_lww_dedup_latest,
+    "hot_keys_topk": q_hot_keys_topk,
+    "distinct_exact": q_distinct_exact,
+    "running_window": q_running_window,
+    "except_diff": q_except_diff,
+    "intersect_users": q_intersect_users,
+    "udaf_value_by_type": q_udaf_value_by_type,
+    "semi_join_customers": q_semi_join_customers,
+    "tpch_q14_promo": q_tpch_q14_promo,
+    "window_rank_sources": q_window_rank_sources,
+    "stats_moments_value": q_stats_moments_value,
     # ---- the rest of the 50-row window -----------------------------------
+    "multimodal_features": q_multimodal_features,
     "cdc_final_state": q_cdc_final_state,
     "cdc_merge_outcomes": q_cdc_merge_outcomes,
     "ledger_anti_join": q_ledger_anti_join,
     "epoch_stats": q_epoch_stats,
-    "asof_prior_click": q_asof_prior_click,
     "union_schema_merge": q_union_schema_merge,
     "session_windows": q_session_windows,
+    "sliding_window_counts": q_sliding_window_counts,
     "json_props_extract": q_json_props_extract,
-    "pivot_daily_event_types": q_pivot_daily_event_types,
     "broadcast_dim_join": q_broadcast_dim_join,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "tpch_q3_topk": q_tpch_q3_topk,
@@ -1752,20 +1781,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "denylist_scrub": q_denylist_scrub,
     "repetition_stats": q_repetition_stats,
     "vocab_df_topk": q_vocab_df_topk,
-    "boilerplate_share": q_boilerplate_share,
+    "lsh_candidates": q_lsh_candidates,
     # ---- deliberate tail under the 50-row driver cap (see header) --------
-    "cube_pricing": q_cube_pricing,
-    "median_by_type": q_median_by_type,
-    "range_join_clicks": q_range_join_clicks,
-    "lww_dedup_latest": q_lww_dedup_latest,
-    "hot_keys_topk": q_hot_keys_topk,
-    "distinct_exact": q_distinct_exact,
-    "running_window": q_running_window,
-    "except_diff": q_except_diff,
-    "intersect_users": q_intersect_users,
-    "udaf_value_by_type": q_udaf_value_by_type,
-    "semi_join_customers": q_semi_join_customers,
-    "tpch_q14_promo": q_tpch_q14_promo,
-    "window_rank_sources": q_window_rank_sources,
-    "stats_moments_value": q_stats_moments_value,
+    "minhash_signatures": q_minhash_signatures,
+    "ngram_jaccard": q_ngram_jaccard,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "token_counts": q_token_counts,
+    "scalar_url_extract": q_scalar_url_extract,
+    "time_bucket_hourly": q_time_bucket_hourly,
+    "approx_quantiles_value": q_approx_quantiles_value,
+    "stratified_sample": q_stratified_sample,
+    "ann_srp_buckets": q_ann_srp_buckets,
+    "simsearch_brute_topk": q_simsearch_brute_topk,
+    "lag_gap_audit": q_lag_gap_audit,
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "pivot_daily_event_types": q_pivot_daily_event_types,
+    "boilerplate_share": q_boilerplate_share,
+    "asof_prior_click": q_asof_prior_click,
 }

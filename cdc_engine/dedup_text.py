@@ -278,6 +278,69 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def simhash_candidate_pairs(
+    docs: DataFrame, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidate pairs by banded SimHash Hamming join (round-4
+    verdict task 5 — completes the simhash family next to the
+    MinHash->LSH->rescore chain): split the 48-bit fingerprint into
+    ``bands`` disjoint bit bands and equi-join on (band, band_bits), then
+    post-filter XOR-popcount <= ``max_hamming``. Returns (da, db, hamming).
+
+    Recall is EXACT, not probabilistic: by pigeonhole, a pair within
+    Hamming distance d <= bands-1 differs in at most bands-1 bands, so it
+    agrees exactly on at least one — every such pair survives the band
+    join. The join is on the band key, never all-pairs; as with the LSH
+    chain, the band relation is explicitly repartitioned so AQE's
+    byte-based coalescing can't serialize the candidate explosion. Pure
+    Catalyst end-to-end (shift/mask/xor/bit_count), so the DuckDB oracle
+    reproduces it bit-for-bit."""
+    assert SIMHASH_BITS % bands == 0 and max_hamming < bands
+    w = SIMHASH_BITS // bands
+    mask = (1 << w) - 1
+    fp = simhash_fingerprints(docs).where(F.col("simhash").isNotNull())
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).cast("int").alias("band"),
+                    F.shiftright(F.col("simhash"), k * w)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    .alias("key"),
+                )
+                for k in range(bands)
+            ])
+        ).alias("_b"),
+    ).select("doc_id", "simhash", "_b.band", "_b.key")
+    par = banded.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(par, "band", "key")
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+            F.col("x.simhash").alias("fa"),
+            F.col("y.simhash").alias("fb"),
+        )
+        .distinct()
+        .select(
+            "da",
+            "db",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star step [Kiveris et al., "Connected Components in MapReduce
     and Beyond", alg. 2]: for every node u, connect each strictly-LARGER

@@ -97,8 +97,55 @@ def replay(
             )
 
     results = []
-    width = max(1, cfg.mor_pipeline) if lake.manifest().get("mode", "cow") == "mor" else 1
-    if width <= 1 or len(todo) <= 1:
+    mode = lake.manifest().get("mode", "cow")
+    width = max(1, cfg.mor_pipeline) if mode == "mor" else 1
+    if mode == "cow" and cfg.cow_prefetch > 0 and len(todo) > 1:
+        # COW epoch OVERLAP (round-4 verdict task 4): full pipelining is
+        # unsafe for COW — epoch k+1's merge reads the table state epoch k
+        # commits — but everything BEFORE the merge (WAL scan, combined
+        # stats job, LWW dedup shuffle, cache materialization) is a pure
+        # function of the batch. A single prefetch worker prepares epoch
+        # k+1 (materialize=True pulls the dedup shuffle into the overlap,
+        # not just the stats job) while the main thread runs epoch k's
+        # merge/commit; commit_prepared stays strictly ordered on the main
+        # thread, which IS the state-read barrier.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from cdc_engine.apply import commit_prepared, prepare_epoch
+        from cdc_engine.normalize import apply_mapping
+
+        def _prep(k: int):
+            batch = read_seq_range(spark, wal_dir, k * e, (k + 1) * e)
+            df = apply_mapping(batch, cfg.column_mapping)
+            with phase("prepare_total"):
+                return prepare_epoch(
+                    spark, lake, df, k, cfg, cfg.quarantine_dir,
+                    materialize=True,
+                )
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_prep, todo[0])
+            try:
+                for i, k in enumerate(todo):
+                    prep = fut.result()
+                    fut = pool.submit(_prep, todo[i + 1]) if i + 1 < len(todo) else None
+                    if prep is None:
+                        continue
+                    with phase("apply_total"):
+                        r = commit_prepared(spark, lake, prep)
+                    if r is not None:
+                        results.append(r)
+            finally:
+                # a failed commit must not leak the in-flight prepared
+                # epoch's cache (and must not mask the original error)
+                if fut is not None:
+                    try:
+                        p = fut.result()
+                        if p is not None and p.persisted is not None:
+                            p.persisted.unpersist()
+                    except Exception:
+                        pass
+    elif width <= 1 or len(todo) <= 1:
         for k in todo:
             r = _run_one(k)
             if r is not None:

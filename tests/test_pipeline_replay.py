@@ -59,6 +59,53 @@ def test_pipelined_widths_equivalent(spark, wal_basic, tmp_path):
     assert lineage_key(lakes[2]) == l1 and lineage_key(lakes[4]) == l1
 
 
+def test_cow_prefetch_equivalent_to_sequential(spark, wal_basic, tmp_path):
+    """COW replay with the prepare/commit overlap (cow_prefetch=1, the
+    default) is byte-identical to fully sequential COW replay: same state
+    hash, ledger seq ranges, and lineage multiset — the prefetch only
+    moves state-independent work, never reorders commits (round-4 verdict
+    task 4)."""
+    wal_dir, wcfg, oracle = wal_basic
+    lakes = {}
+    for depth in (0, 1):
+        lake = SnapLake.create(
+            str(tmp_path / f"lake_cowp{depth}"), PAGES_SCHEMA_V1,
+            n_buckets=8, mode="cow",
+        )
+        cfg = CdcConfig(
+            events_per_epoch=wcfg.events_per_epoch, n_buckets=8,
+            cow_prefetch=depth,
+        )
+        replay(spark, lake, wal_dir, cfg)
+        lakes[depth] = lake
+    assert lakes[1].state_hash(spark) == lakes[0].state_hash(spark)
+    assert_matches_oracle(lakes[1].scan(spark), oracle)
+
+    def ledger(lk):
+        return {
+            e: (v["first_seq"], v["last_seq"])
+            for e, v in lk.committed_epochs().items()
+        }
+
+    assert ledger(lakes[1]) == ledger(lakes[0])
+
+    def lineage_key(lk):
+        df = lk.lineage_df(spark)
+        cols = [
+            c
+            for c in ("epoch_id", "pid", "rows_upserted", "rows_deleted")
+            if c in df.columns
+        ]
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert lineage_key(lakes[1]) == lineage_key(lakes[0])
+
+    # resumability through the prefetch path: re-replay is a no-op
+    assert replay(spark, lakes[1], wal_dir, CdcConfig(
+        events_per_epoch=wcfg.events_per_epoch, n_buckets=8
+    )) == []
+
+
 def test_pipelined_resume_after_partial(spark, wal_basic, tmp_path):
     """Kill a pipelined replay after 2 epochs; resume pipelined: identical
     to a one-shot serial run (the ledger anti-join skips committed epochs

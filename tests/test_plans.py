@@ -79,12 +79,14 @@ def test_text_ops_have_no_python_nodes(spark):
 
 
 def test_neardup_blocking_is_equi_join(spark):
-    """The SRP-blocked near-dup must candidate-generate via an EQUI join on
-    the probe/bucket key — a cartesian/broadcast-nested-loop node would
-    mean the blocking silently degenerated to all-pairs."""
-    p = _plan(QUERIES["embedding_neardup_pairs"](spark, SF), mode="simple")
-    assert "CartesianProduct" not in p, p
-    assert "BroadcastNestedLoopJoin" not in p, p
+    """The SRP-blocked near-dup and the banded-SimHash candidate join must
+    candidate-generate via an EQUI join on the probe/bucket/band key — a
+    cartesian/broadcast-nested-loop node would mean the blocking silently
+    degenerated to all-pairs."""
+    for name in ("embedding_neardup_pairs", "simhash_candidates"):
+        p = _plan(QUERIES[name](spark, SF), mode="simple")
+        assert "CartesianProduct" not in p, (name, p)
+        assert "BroadcastNestedLoopJoin" not in p, (name, p)
 
 
 def test_jaccard_chain_reuses_tokenization(spark):
