@@ -103,6 +103,7 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "ann_ivf_assign",
         "quality_scores",
         "simhash_fingerprints",
+        "simhash_candidates",
         "ann_srp_buckets",
     ]
     for name in headline:
@@ -132,11 +133,14 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
     cand = lsh_candidate_pairs(docs, k=24, band_rows=8)
     pre = docs.select("doc_id", F.substring("text", 1, 64).alias("p"))
     a, b = pre.alias("a"), pre.alias("b")
+    # thresholded levenshtein (banded DP early exit): row-identical to
+    # `lev(a,b) <= 16` for kept rows; the r5 lever on this entry — the
+    # cost is the candidate-explosion DP, not tokenization (ANALYSIS_r5 §1)
     rescored = (
         cand.join(a, F.col("da") == F.col("a.doc_id"))
         .join(b, F.col("db") == F.col("b.doc_id"))
-        .select("da", "db", F.levenshtein(F.col("a.p"), F.col("b.p")).alias("prefix_edit"))
-        .where(F.col("prefix_edit") <= 16)
+        .select("da", "db", F.levenshtein(F.col("a.p"), F.col("b.p"), 16).alias("prefix_edit"))
+        .where(F.col("prefix_edit") >= 0)
     )
     rescored.write.format("noop").mode("overwrite").save()
     t["edit_distance_rescore"] = round(time.monotonic() - t0, 3)
