@@ -157,6 +157,8 @@ def render_report(history: list[dict], latest: dict | None = None) -> str:
         medq = _median([s["mor_raw"] for s in gated])
         meda = _median([s["mor_raw"] for s in sessions])
         medn = _median([s["mor_norm"] for s in sessions])
+        cowq = _median([s["cow_raw"] for s in gated])
+        cowa = _median([s["cow_raw"] for s in sessions])
         verdict = (
             "n/a (no qualified session)"
             if medq is None
@@ -164,7 +166,8 @@ def render_report(history: list[dict], latest: dict | None = None) -> str:
         )
         batch_rows.append(
             f"| {g} | {len(sessions)} | {len(gated)} | "
-            f"{'—' if medq is None else f'{medq:.3f}'} | {meda:.3f} | {medn:.3f} | {verdict} |"
+            f"{'—' if medq is None else f'{medq:.3f}'} | {meda:.3f} | {medn:.3f} | "
+            f"{'—' if cowq is None else f'{cowq:.3f}'} | {cowa:.3f} | {verdict} |"
         )
         if medq is not None:
             headline = (g, len(sessions), len(gated), medq)
@@ -275,8 +278,8 @@ Per-batch criterion table (statistic pre-registered in BENCH/PREREG_r*.md
 BEFORE each batch ran; a batch = sessions of one frozen engine state; no
 optional stopping — every session is recorded):
 
-| engine batch | sessions | qualified (hw >= 0.85) | qualified median mor_raw | all-session median mor_raw | normalized median | verdict vs 0.8 |
-|---|---|---|---|---|---|---|
+| engine batch | sessions | qualified (hw >= 0.85) | qualified median mor_raw | all-session median mor_raw | normalized median | qualified median cow_raw | all-session median cow_raw | verdict vs 0.8 (mor) |
+|---|---|---|---|---|---|---|---|---|
 {batch_table}
 
 Gating rationale: each session records the host's own same-hour pure-CPU
