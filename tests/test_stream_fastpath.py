@@ -69,6 +69,45 @@ def test_streaming_mor_epochs_zero_collects_and_replay_parity(
     assert streamed.state_hash(spark) == replayed.state_hash(spark)
 
 
+def test_streaming_fastpath_across_schema_change_multifile_trigger(
+    spark, tmp_path
+):
+    """A 2-file trigger whose batch straddles the mid-stream schema change
+    (one v1 + one v2 segment) must still take the footer-bounds path —
+    mixed int32/int64 source_partition stats, union seq window — and land
+    byte-identical to replay."""
+    wal = str(tmp_path / "wal_sc")
+    generate_wal(
+        wal,
+        WalConfig(
+            n_events=4_000, events_per_epoch=1_000, schema_change_at_epoch=2,
+            docs_parquet=DOCS_SF0001,
+        ),
+    )
+    paths = [p for _f, _v, p in list_segments(wal)]
+    assert len(paths) == 4
+    # the straddling pair (v1 seg 1 + v2 seg 2): bounds must resolve
+    seq_rng, pid_b = footer_epoch_bounds(paths[1:3])
+    assert seq_rng == (1_000, 2_999)
+    assert pid_b is not None
+
+    cfg = CdcConfig(events_per_epoch=2_000, n_buckets=8)
+    streamed = SnapLake.create(
+        str(tmp_path / "lake_sc_stream"), PAGES_SCHEMA_V1, n_buckets=8, mode="mor"
+    )
+    ingest_stream(
+        spark, streamed, wal, str(tmp_path / "ckpt_sc"), cfg=cfg,
+        available_now=True, max_files_per_trigger=2,
+    )
+    replayed = SnapLake.create(
+        str(tmp_path / "lake_sc_replay"), PAGES_SCHEMA_V1, n_buckets=8, mode="mor"
+    )
+    replay(spark, replayed, wal, cfg)
+    assert streamed.state_hash(spark) == replayed.state_hash(spark)
+    # the evolved column arrived through the streaming path too
+    assert "fetch_status" in [f.name for f in streamed.scan(spark).schema.fields]
+
+
 def _null_some_pids(wal: str) -> None:
     """Rewrite the first WAL segment with NULL source_partition on every
     10th row (footer stats then carry null_count > 0)."""
