@@ -106,10 +106,18 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("neardup")
     p.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
     p.add_argument("--out", required=True, help="output parquet of surviving docs")
+    p.add_argument("--method", choices=("minhash", "simhash"), default="minhash",
+                   help="candidate generation: minhash-LSH + exact Jaccard "
+                        "(default) or banded SimHash Hamming")
     p.add_argument("--k", type=int, default=24, help="minhash signature length")
     p.add_argument("--band-rows", type=int, default=8, help="rows per LSH band")
     p.add_argument("--threshold-milli", type=int, default=900,
                    help="near-dup Jaccard threshold in 1/1000 units")
+    p.add_argument("--bands", type=int, default=4,
+                   help="simhash: disjoint bit bands over the 48-bit fingerprint")
+    p.add_argument("--max-hamming", type=int, default=3,
+                   help="simhash: keep pairs within this Hamming distance "
+                        "(exact recall requires max-hamming < bands)")
     p.add_argument("--master", default=None)
 
     args = ap.parse_args(argv)
@@ -154,13 +162,22 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "neardup":
         from pyspark.sql import functions as F
 
-        from cdc_engine.dedup_text import connected_components, jaccard_on_lsh
+        from cdc_engine.dedup_text import (
+            connected_components,
+            jaccard_on_lsh,
+            simhash_candidate_pairs,
+        )
 
         docs = spark.read.parquet(args.docs)
-        pairs = jaccard_on_lsh(
-            docs, k=args.k, band_rows=args.band_rows,
-            threshold_milli=args.threshold_milli,
-        )
+        if args.method == "simhash":
+            pairs = simhash_candidate_pairs(
+                docs, bands=args.bands, max_hamming=args.max_hamming
+            )
+        else:
+            pairs = jaccard_on_lsh(
+                docs, k=args.k, band_rows=args.band_rows,
+                threshold_milli=args.threshold_milli,
+            )
         comps = connected_components(pairs, src="da", dst="db")
         dropped = comps.where(F.col("node") != F.col("component"))
         survivors = docs.join(
