@@ -56,6 +56,7 @@ from cdc_engine.textops import (
     doc_fingerprint,
     lang_id,
     quality_score,
+    tfidf_topk,
     token_count,
     winnow_fingerprint,
 )
@@ -882,6 +883,13 @@ def q_simhash_fingerprints(spark, sf):
     return _p(simhash_fingerprints(t(spark, sf, "documents")), "doc_id")
 
 
+def q_tfidf_topk(spark, sf):
+    """Top-5 TF-IDF terms per document (tf x ln(N/df), milli-quantized;
+    the quantized score is the sort key in both engines so a last-ulp
+    double divergence cannot reorder the top-k)."""
+    return _p(tfidf_topk(t(spark, sf, "documents"), k=5), "doc_id", "rank")
+
+
 def q_simhash_candidates(spark, sf):
     """Banded SimHash Hamming-ball candidate join (4 bands x 12 bits,
     Hamming <= 3 — exact recall by pigeonhole). Completes the simhash
@@ -1451,6 +1459,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         ORDER BY d.doc_id
     """,
+    "tfidf_topk": """
+        WITH tokm AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+                FROM documents) WHERE w <> ''),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tokm GROUP BY doc_id, w),
+        dfc AS (SELECT w, COUNT(*) AS df
+                FROM (SELECT DISTINCT doc_id, w FROM tokm) GROUP BY w),
+        n AS (SELECT CAST(COUNT(text) AS DOUBLE) AS n FROM documents),
+        scored AS (SELECT tf.doc_id, tf.w, tf.tf,
+                          CAST(ROUND(tf.tf * ln(n.n / dfc.df) * 1000) AS BIGINT)
+                              AS score_milli
+                   FROM tf JOIN dfc USING (w), n),
+        ranked AS (SELECT *,
+                          CAST(row_number() OVER (
+                              PARTITION BY doc_id
+                              ORDER BY score_milli DESC, w ASC) AS INTEGER) AS rank
+                   FROM scored)
+        SELECT doc_id, w, tf, score_milli, rank
+        FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
+    """,
     "simhash_candidates": f"""
         WITH {_TOK_CTE},
         s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id),
@@ -1727,7 +1758,9 @@ for _k in ("lsh_candidates", "jaccard_on_lsh", "edit_distance_rescore", "neardup
 #   * pivot_daily_event_types — cube_pricing rotates back in (wide grouping)
 #   * boilerplate_share   — vocab_df_topk keeps shingle/DF aggregation
 #   * asof_prior_click    — range_join_clicks rotates back in (time joins)
-# All 65 remain covered by the local dtype-sensitive DuckDB mirror
+#   * vocab_df_topk       — tfidf_topk (NEW, in-window) subsumes the DF
+#                           aggregation shape
+# All 66 remain covered by the local dtype-sensitive DuckDB mirror
 # (tests/test_contract.py) regardless of the driver cap.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_replay_mini": q_cdc_replay_mini,
@@ -1780,7 +1813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "denylist_scrub": q_denylist_scrub,
     "repetition_stats": q_repetition_stats,
-    "vocab_df_topk": q_vocab_df_topk,
+    "tfidf_topk": q_tfidf_topk,
     "lsh_candidates": q_lsh_candidates,
     # ---- deliberate tail under the 50-row driver cap (see header) --------
     "minhash_signatures": q_minhash_signatures,
@@ -1798,4 +1831,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_daily_event_types": q_pivot_daily_event_types,
     "boilerplate_share": q_boilerplate_share,
     "asof_prior_click": q_asof_prior_click,
+    "vocab_df_topk": q_vocab_df_topk,
 }

@@ -149,6 +149,51 @@ def vocab_df_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = term count in the doc
+    (multiset), idf = ln(N / df) with df = documents containing the term,
+    score quantized to milli-units for cross-engine comparison. Returns
+    (doc_id, w, tf, score_milli, rank), rank 1..k per doc, ordered by
+    (score_milli desc, w asc) — the quantized score is the sort key in
+    BOTH engines, so a last-ulp double divergence cannot reorder the
+    top-k.
+
+    Scale shape (the 100 TB story): one groupBy (doc_id, w) for tf with
+    map-side combine, one groupBy (w) for df, one shuffle join on w, one
+    window over doc_id for the top-k — every step keyed, nothing
+    pairwise; the same shape as vocab_df_topk with a join-back. Pure
+    Catalyst, no Python."""
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(tokens_expr()).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfc = (
+        tok.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count("*").alias("df"))
+    )
+    # corpus size rides the plan as a broadcast 1-row relation — no
+    # driver-side count action
+    nrel = docs.agg(F.count("text").cast("double").alias("_n"))
+    scored = tf.join(dfc, "w").crossJoin(F.broadcast(nrel)).select(
+        "doc_id",
+        "w",
+        "tf",
+        F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")) * 1000)
+        .cast("long")
+        .alias("score_milli"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "w", "tf", "score_milli", "rank")
+    )
+
+
 def boilerplate_share(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
     """Per-document share of distinct k-gram shingles that also occur in
     >= min_df documents — the shingle-granularity form of CCNet-style
