@@ -48,6 +48,7 @@ from cdc_engine.simsearch import (
     brute_topk,
     ivf_assign,
     ivf_query_topk,
+    kmeans_refine,
     srp_bucket_sql,
     srp_buckets,
 )
@@ -883,6 +884,15 @@ def q_simhash_fingerprints(spark, sf):
     return _p(simhash_fingerprints(t(spark, sf, "documents")), "doc_id")
 
 
+def q_kmeans_refine(spark, sf):
+    """Lloyd-refined k-means assignment (2 rounds, 16 seed cells) over the
+    embeddings table — the iterative counterpart of ann_ivf_assign, with
+    an exact 2-round-unrolled DuckDB oracle (milli-quantized integer
+    distances; centroid means are single divisions of exact integer
+    sums)."""
+    return _p(kmeans_refine(t(spark, sf, "embeddings"), n_cells=16, rounds=2), "vec_id")
+
+
 def q_tfidf_topk(spark, sf):
     """Top-5 TF-IDF terms per document (tf x ln(N/df), milli-quantized;
     the quantized score is the sort key in both engines so a last-ulp
@@ -1459,6 +1469,27 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         ORDER BY d.doc_id
     """,
+    "kmeans_refine": """
+        WITH qe AS (SELECT vec_id,
+                           list_transform(embedding,
+                               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+                    FROM embeddings),
+        c0 AS (SELECT vec_id AS cell, qe AS ce FROM qe WHERE vec_id < 16),
+        s1 AS (SELECT q.vec_id, c.cell, CAST(SUM((q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])) AS BIGINT) AS dist_q
+               FROM qe q, c0 c, range(1, 65) t(i) GROUP BY q.vec_id, c.cell),
+        a1 AS (SELECT vec_id, cell FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, cell) rn FROM s1)
+               WHERE rn = 1),
+        comp AS (SELECT a1.cell, t.i, CAST(ROUND(AVG(q.qe[t.i])) AS BIGINT) AS cv
+                 FROM a1 JOIN qe q USING (vec_id), range(1, 65) t(i) GROUP BY a1.cell, t.i),
+        c1n AS (SELECT cell, list(cv ORDER BY i) AS ce FROM comp GROUP BY cell),
+        c1 AS (SELECT c0.cell, COALESCE(c1n.ce, c0.ce) AS ce FROM c0 LEFT JOIN c1n USING (cell)),
+        s2 AS (SELECT q.vec_id, c.cell, CAST(SUM((q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])) AS BIGINT) AS dist_q
+               FROM qe q, c1 c, range(1, 65) t(i) GROUP BY q.vec_id, c.cell)
+        SELECT vec_id, cell, dist_q FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, cell) rn FROM s2)
+        WHERE rn = 1 ORDER BY vec_id
+    """,
     "tfidf_topk": """
         WITH tokm AS (
             SELECT doc_id, w FROM (
@@ -1760,7 +1791,10 @@ for _k in ("lsh_candidates", "jaccard_on_lsh", "edit_distance_rescore", "neardup
 #   * asof_prior_click    — range_join_clicks rotates back in (time joins)
 #   * vocab_df_topk       — tfidf_topk (NEW, in-window) subsumes the DF
 #                           aggregation shape
-# All 66 remain covered by the local dtype-sensitive DuckDB mirror
+#   * ann_ivf_assign      — kmeans_refine (NEW, in-window) iterates the
+#                           same argmin assignment; ann_ivf_query_topk
+#                           keeps the probe path
+# All 67 remain covered by the local dtype-sensitive DuckDB mirror
 # (tests/test_contract.py) regardless of the driver cap.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_replay_mini": q_cdc_replay_mini,
@@ -1800,7 +1834,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_on_lsh": q_jaccard_on_lsh,
     "edit_distance_rescore": q_edit_distance_rescore,
     "neardup_components": q_neardup_components,
-    "ann_ivf_assign": q_ann_ivf_assign,
+    "kmeans_refine": q_kmeans_refine,
     "ann_ivf_query_topk": q_ann_ivf_query_topk,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -1832,4 +1866,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_share": q_boilerplate_share,
     "asof_prior_click": q_asof_prior_click,
     "vocab_df_topk": q_vocab_df_topk,
+    "ann_ivf_assign": q_ann_ivf_assign,
 }

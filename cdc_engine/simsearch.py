@@ -157,3 +157,83 @@ def ivf_query_topk(
         .orderBy(F.desc("dot_q"), "vec_id")
         .limit(k)
     )
+
+
+# quantized integer squared-euclidean distance of two array<long> columns
+_DIST_SQ = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+def _quantize(col: str):
+    """array<float> -> array<bigint> milli components (exact cross-engine)."""
+    return F.expr(
+        f"transform({col}, x -> cast(round(cast(x as double) * 1000) as bigint))"
+    )
+
+
+def kmeans_refine(
+    emb: DataFrame, n_cells: int = 16, rounds: int = 2
+) -> DataFrame:
+    """Lloyd-refined k-means over the embedding column — the iterative
+    counterpart of the one-shot ``ivf_assign``: seed centroids are the
+    first ``n_cells`` vectors, then ``rounds`` iterations of
+    (assign by squared-euclidean argmin, ties to the lowest cell) ->
+    (centroid = per-dimension ROUND(AVG) over members; an empty cell
+    keeps its previous centroid). Returns the final (vec_id, cell,
+    dist_q) assignment.
+
+    Cross-engine determinism: components are milli-quantized BIGINTs, so
+    distances are exact integers; centroid means are single divisions of
+    exact integer sums (both engines land on the identical double, then
+    the identical ROUND), so a 2-round DuckDB CTE unrolling reproduces
+    the result bit-for-bit — an ITERATIVE operator with an exact oracle.
+
+    Scale shape: per round, one broadcast of C centroids + one min_by
+    hash-aggregate (map-side combine, no window sort) for assignment, one
+    posexplode->hash-aggregate for the new centroids (C x dim tiny
+    output). Rounds are statically unrolled into the plan; no driver-side
+    data, no Python."""
+    q = emb.select("vec_id", _quantize("embedding").alias("qe"))
+    cents = q.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("qe").alias("ce")
+    )
+    assign = None
+    for _r in range(rounds):
+        scored = q.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cell",
+            F.expr(_DIST_SQ.format(a="qe", b="ce")).alias("dist_q"),
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cell", "dist_q"), F.struct("dist_q", "cell")
+                ).alias("_b")
+            )
+            .select(
+                "vec_id",
+                F.col("_b.cell").alias("cell"),
+                F.col("_b.dist_q").alias("dist_q"),
+            )
+        )
+        if _r == rounds - 1:
+            break
+        comp = (
+            assign.join(q, "vec_id")
+            .select("cell", F.posexplode("qe").alias("i", "v"))
+            .groupBy("cell", "i")
+            .agg(F.round(F.avg("v")).cast("long").alias("cv"))
+        )
+        new_c = comp.groupBy("cell").agg(
+            F.expr("transform(array_sort(collect_list(struct(i, cv))), s -> s.cv)").alias(
+                "nce"
+            )
+        )
+        # empty cells keep their previous centroid
+        cents = cents.join(new_c, "cell", "left").select(
+            "cell", F.coalesce(F.col("nce"), F.col("ce")).alias("ce")
+        )
+    return assign
