@@ -73,6 +73,8 @@ def test_text_ops_have_no_python_nodes(spark):
         "minhash_signatures",
         "lsh_candidates",
         "dedup_canonical_map",
+        "tfidf_topk",
+        "kmeans_refine",
     ):
         p = _plan(QUERIES[name](spark, SF), mode="simple")
         assert "EvalPython" not in p, f"{name} runs Python:\n{p}"
