@@ -105,6 +105,11 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "simhash_fingerprints",
         "simhash_candidates",
         "ann_srp_buckets",
+        "tfidf_topk",
+        "kmeans_refine",
+        "scd2_history",
+        "contamination_check",
+        "seq_packing",
     ]
     for name in headline:
         t0 = time.monotonic()

@@ -910,6 +910,57 @@ def q_simhash_candidates(spark, sf):
     )
 
 
+def q_scd2_history(spark, sf):
+    """SCD Type-2 history table from the change stream: every version of
+    every key with a validity interval and a current-row marker — the
+    companion product to the type-1 current-state table the lake keeps
+    (cdc_engine/scd.py; one keyed window shuffle, the same exchange as
+    LWW dedup). Timestamps are emitted as epoch micros (bigint) for the
+    driver's dtype-stable hash; is_current as int 1/0."""
+    from cdc_engine.scd import scd2_history
+
+    ev = _with_op(t(spark, sf, "events"))
+    return scd2_history(
+        ev, key="user_id", ts="ts", seq="event_id", op_col="op"
+    ).select(
+        "user_id",
+        "version_n",
+        "event_id",
+        # testdata ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is
+        # the identity mapping DuckDB's epoch_us applies to naive ts
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("from_us"),
+        F.unix_micros(F.col("effective_to").cast("timestamp")).alias("to_us"),
+        F.col("is_current").cast("int").alias("is_current"),
+    ).transform(_p, "user_id", "version_n")
+
+
+def q_contamination_check(spark, sf):
+    """Benchmark decontamination audit: per training doc, the share of
+    its distinct 3-gram shingles that collide with the held-out benchmark
+    slice (doc_id % 50 == 0). Benchmark shingles broadcast (eval suites
+    are tiny against the corpus); training side is one explode + broadcast
+    left join + hash agg — never pairwise (textops.contamination_share)."""
+    from cdc_engine.textops import contamination_share
+
+    return _p(
+        contamination_share(t(spark, sf, "documents"), k=3, bench_mod=50), "doc_id"
+    )
+
+
+def q_seq_packing(spark, sf):
+    """Concat-and-chunk sequence packing into 256-token bins via the
+    scalable two-pass prefix sum (per-range sums -> tiny broadcast offset
+    relation -> parallel intra-range cumsum; sampling.pack_sequences).
+    The oracle is the naive single-window global cumsum — identical bins,
+    different physical plan."""
+    from cdc_engine.sampling import pack_sequences
+
+    return _p(
+        pack_sequences(t(spark, sf, "documents"), capacity=256, range_width=128),
+        "bin_id",
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Real-decoder multimodal featurization (round-3 verdict task 5): a
     REAL BMP / WAV container is synthesized per document (payload bytes =
@@ -1513,6 +1564,66 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, w, tf, score_milli, rank
         FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
     """,
+    "scd2_history": """
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS version_n,
+               event_id,
+               epoch_us(ts) AS from_us,
+               epoch_us(LEAD(ts) OVER w) AS to_us,
+               CAST(CASE WHEN LEAD(ts) OVER w IS NULL
+                          AND event_type <> 'error' THEN 1 ELSE 0 END
+                    AS INTEGER) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, version_n
+    """,
+    "contamination_check": """
+        WITH b AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(1, len(toks) - 3 + 2),
+                               i -> ('0x' || substring(md5(array_to_string(
+                                    list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT)
+                          ELSE CAST([] AS BIGINT[]) END AS hashes
+              FROM b),
+        shing AS (SELECT doc_id, unnest(list_distinct(hashes)) AS sh FROM g),
+        bench AS (SELECT DISTINCT sh FROM shing WHERE doc_id % 50 = 0),
+        per AS (SELECT s.doc_id, COUNT(*) AS n_shingles,
+                       CAST(SUM(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_contam
+                FROM shing s LEFT JOIN bench ON s.sh = bench.sh
+                WHERE s.doc_id % 50 <> 0
+                GROUP BY s.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(per.n_contam, 0) AS BIGINT) AS n_contam,
+               CASE WHEN per.n_shingles > 0
+                    THEN CAST(ROUND(1000.0 * per.n_contam / per.n_shingles) AS BIGINT)
+                    END AS contam_milli
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        WHERE d.doc_id % 50 <> 0
+        ORDER BY d.doc_id
+    """,
+    "seq_packing": """
+        WITH tk AS (SELECT doc_id,
+                           CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                                x -> x <> '')) AS BIGINT) AS n_tok
+                    FROM documents),
+        pl AS (SELECT doc_id, n_tok,
+                      COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS start_off
+               FROM tk)
+        SELECT CAST(FLOOR(start_off / 256) AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM pl GROUP BY 1 ORDER BY 1
+    """,
     "simhash_candidates": f"""
         WITH {_TOK_CTE},
         s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id),
@@ -1794,11 +1905,23 @@ for _k in ("lsh_candidates", "jaccard_on_lsh", "edit_distance_rescore", "neardup
 #   * ann_ivf_assign      — kmeans_refine (NEW, in-window) iterates the
 #                           same argmin assignment; ann_ivf_query_topk
 #                           keeps the probe path
+#   * simhash_fingerprints — simhash_candidates (in-window) runs the
+#                           fingerprint stage end-to-end
+#   * lsh_candidates      — jaccard_on_lsh / edit_distance_rescore /
+#                           neardup_components all run the LSH candidate
+#                           stage in-window
+#   * multimodal_blob_meta — multimodal_features (real decode) +
+#                           multimodal_frame_sample keep the family;
+#                           blob_meta is its narrow metadata projection
 # All 67 remain covered by the local dtype-sensitive DuckDB mirror
 # (tests/test_contract.py) regardless of the driver cap.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_replay_mini": q_cdc_replay_mini,
     "simhash_candidates": q_simhash_candidates,
+    # ---- NEW this round: need their first driver row ----------------------
+    "scd2_history": q_scd2_history,
+    "contamination_check": q_contamination_check,
+    "seq_packing": q_seq_packing,
     # ---- r03-only driver rows, rotated back into the window --------------
     "cube_pricing": q_cube_pricing,
     "median_by_type": q_median_by_type,
@@ -1841,15 +1964,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "text_extract_invariant": q_text_extract_invariant,
     "dataset_splits": q_dataset_splits,
-    "multimodal_blob_meta": q_multimodal_blob_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
-    "simhash_fingerprints": q_simhash_fingerprints,
     "approx_distinct_users": q_approx_distinct_users,
     "denylist_scrub": q_denylist_scrub,
     "repetition_stats": q_repetition_stats,
     "tfidf_topk": q_tfidf_topk,
-    "lsh_candidates": q_lsh_candidates,
     # ---- deliberate tail under the 50-row driver cap (see header) --------
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "multimodal_blob_meta": q_multimodal_blob_meta,
+    "lsh_candidates": q_lsh_candidates,
     "minhash_signatures": q_minhash_signatures,
     "ngram_jaccard": q_ngram_jaccard,
     "winnow_fingerprints": q_winnow_fingerprints,

@@ -67,3 +67,74 @@ def stratified_sample(
     for s, r in sorted(rates_permille.items()):
         rate = F.when(F.col(stratum) == s, F.lit(r)).otherwise(rate)
     return df.where(b < rate)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 256,
+    range_width: int = 128,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Deterministic concat-and-chunk sequence packing: lay the corpus
+    end-to-end in key order and cut fixed-capacity token bins — the
+    GPT-style pre-training batch assembly step (a doc's bin is the bin
+    containing its START offset). Returns one row per bin:
+    (bin_id, n_docs, n_tokens, first_doc, last_doc).
+
+    The naive formulation is a GLOBAL cumulative sum — a single-task
+    window at 100 TB. This is the scalable two-pass prefix sum instead:
+
+      pass 1: hash-aggregate token sums per contiguous key range
+              (floor(key / range_width)) — map-side combinable;
+      pass 2: the per-range offsets relation is tiny (corpus_rows /
+              range_width rows), so its own cumsum runs as one trivially
+              small single-partition window, then BROADCASTS back; each
+              range computes its intra-range cumsum in parallel
+              (window partitioned by range) and adds its offset.
+
+    Every wide step is keyed on the range bucket; the only global
+    ordering lives in the tiny offsets relation. Token counts use the
+    shared whitespace tokenizer (textops/repetition_stats) so the DuckDB
+    oracle is exact."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(
+        F.filter(F.split(F.col(text), r"\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    base = docs.select(
+        F.col(key),
+        n_tok.alias("n_tok"),
+        F.floor(F.col(key) / range_width).cast("long").alias("rb"),
+    )
+    rng_sum = base.groupBy("rb").agg(F.sum("n_tok").alias("rb_tok"))
+    w_off = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = rng_sum.select(
+        "rb", F.coalesce(F.sum("rb_tok").over(w_off), F.lit(0)).alias("rb_off")
+    )
+    w_in = (
+        Window.partitionBy("rb")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.join(F.broadcast(offsets), "rb").select(
+        F.col(key),
+        F.col("n_tok"),
+        (F.col("rb_off") + F.coalesce(F.sum("n_tok").over(w_in), F.lit(0))).alias(
+            "start_off"
+        ),
+    )
+    return (
+        placed.select(
+            F.col(key),
+            F.col("n_tok"),
+            F.floor(F.col("start_off") / capacity).cast("long").alias("bin_id"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min(key).alias("first_doc"),
+            F.max(key).alias("last_doc"),
+        )
+    )

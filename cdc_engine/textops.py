@@ -194,6 +194,75 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def shingle_hashes_expr(k: int):
+    """In-row k-gram shingle hashes over word tokens: md5 of the space-
+    joined gram, 48-bit prefix as a long (the same hash construction as
+    winnow_fingerprint, mirrored exactly by the DuckDB oracles). Empty
+    array when the doc has fewer than k tokens."""
+    empty_i = F.expr("cast(array() as array<int>)")
+    toks = tokens_expr()
+    n = F.size(toks)
+    gram_idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(empty_i)
+    return F.transform(
+        gram_idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 12), 16, 10
+        ).cast("long"),
+    )
+
+
+def contamination_share(
+    docs: DataFrame, k: int = 3, bench_mod: int = 50
+) -> DataFrame:
+    """Benchmark decontamination audit: per TRAINING document, the share
+    of its distinct k-gram shingles that also occur in the held-out
+    BENCHMARK slice (docs with doc_id % bench_mod == 0 — a deterministic
+    stand-in for an eval set). The standard pre-training hygiene gate:
+    docs with high contamination share get dropped before training so
+    eval numbers stay honest.
+
+    Shape (the 100 TB story): the benchmark side is small by construction
+    (eval suites are MBs against a 100 TB corpus), so its distinct shingle
+    hashes BROADCAST; the training side streams one explode of in-row-
+    distinct shingles through a broadcast left join + hash aggregate —
+    no shuffle of the big side at all beyond the per-doc agg, never
+    pairwise. Pure Catalyst."""
+    shing = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingle_hashes_expr(k))).alias("sh")
+    )
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
+    bench = (
+        shing.where(is_bench).select("sh").distinct().withColumn("_hit", F.lit(1))
+    )
+    per = (
+        shing.where(~is_bench)
+        .join(F.broadcast(bench), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contam"),
+        )
+    )
+    return (
+        docs.where(~is_bench)
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0).cast("long")).alias("n_shingles"),
+            F.coalesce(F.col("n_contam"), F.lit(0).cast("long")).alias("n_contam"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.lit(1000.0) * F.col("n_contam") / F.col("n_shingles")).cast(
+                    "long"
+                ),
+            ).alias("contam_milli"),
+        )
+    )
+
+
 def boilerplate_share(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
     """Per-document share of distinct k-gram shingles that also occur in
     >= min_df documents — the shingle-granularity form of CCNet-style
@@ -205,17 +274,9 @@ def boilerplate_share(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame
     document-frequency aggregate, then a join back — every step keyed on
     the shingle hash, so it scales like exact dedup, not like a pairwise
     comparison."""
-    empty_i = F.expr("cast(array() as array<int>)")
-    toks = tokens_expr()
-    n = F.size(toks)
-    gram_idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(empty_i)
-    hashes = F.transform(
-        gram_idx,
-        lambda i: F.conv(
-            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 12), 16, 10
-        ).cast("long"),
+    shing = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingle_hashes_expr(k))).alias("sh")
     )
-    shing = docs.select("doc_id", F.explode(F.array_distinct(hashes)).alias("sh"))
     dfc = shing.groupBy("sh").agg(F.count("*").alias("df"))
     per = (
         shing.join(dfc, "sh")

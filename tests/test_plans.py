@@ -162,3 +162,26 @@ def test_minhash_single_shuffle_before_order(spark):
     p = _plan(QUERIES["minhash_signatures"](spark, SF), mode="simple")
     n_hash_exchanges = p.count("Exchange hashpartitioning")
     assert n_hash_exchanges == 1, p
+
+
+def test_contamination_bench_side_broadcasts(spark):
+    """The benchmark shingle set must broadcast: the training side (the
+    100 TB side) joins it with a BroadcastHashJoin, never a sort-merge —
+    and the whole chain stays JVM-side."""
+    p = _plan(QUERIES["contamination_check"](spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "PythonUDF" not in p and "BatchEvalPython" not in p, p
+
+
+def test_seq_packing_global_window_only_on_tiny_relation(spark):
+    """pack_sequences' only single-partition exchange must feed the tiny
+    per-range offsets relation (downstream of the range hash aggregate),
+    never the full doc relation: exactly one SinglePartition exchange,
+    and at least one hash aggregate upstream of it in the tree."""
+    df = QUERIES["seq_packing"](spark, SF)
+    p = _plan(df, mode="simple")
+    assert p.count("Exchange SinglePartition") == 1, p
+    # the big-side cumsum stays partitioned by the range bucket
+    assert "hashpartitioning(rb" in p, p
+    assert "PythonUDF" not in p, p

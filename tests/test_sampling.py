@@ -48,3 +48,45 @@ def test_stratified_sample_is_subset_and_stable(spark):
     # lets you scale a corpus mix up without resampling everything)
     s3 = {r["doc_id"] for r in stratified_sample(docs, {"en": 600}).select("doc_id").collect()}
     assert s1 <= s3
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — concat-and-chunk sequence packing (two-pass prefix sum)
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_invariant_to_range_width(spark):
+    """The range decomposition is an implementation detail: any range_width
+    (including 1 = per-key ranges and huge = one range, i.e. the naive
+    global cumsum) must yield identical bins."""
+    from cdc_engine.sampling import pack_sequences
+
+    docs = _docs(spark)
+    base = sorted(pack_sequences(docs, capacity=256, range_width=128).collect())
+    for rw in (1, 7, 10_000_000):
+        got = sorted(pack_sequences(docs, capacity=256, range_width=rw).collect())
+        assert got == base, f"range_width={rw} diverged"
+
+
+def test_pack_sequences_conservation_and_contiguity(spark):
+    """Bins partition the corpus: doc counts and token counts sum to the
+    corpus totals, bin_ids are the contiguous prefix 0..max, and every
+    bin except possibly the last starts a new doc below its capacity
+    ceiling (start offsets are monotone in doc_id)."""
+    from cdc_engine.sampling import pack_sequences
+
+    docs = _docs(spark)
+    bins = sorted(
+        pack_sequences(docs, capacity=256).collect(), key=lambda r: r["bin_id"]
+    )
+    n_docs = docs.count()
+    n_tok = docs.select(
+        F.sum(
+            F.size(F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")))
+        ).alias("s")
+    ).collect()[0]["s"]
+    assert sum(r["n_docs"] for r in bins) == n_docs
+    assert sum(r["n_tokens"] for r in bins) == n_tok
+    assert [r["bin_id"] for r in bins] == list(range(len(bins)))
+    # doc-id ranges of consecutive bins are disjoint and increasing
+    for a, b in zip(bins, bins[1:]):
+        assert a["last_doc"] < b["first_doc"]
