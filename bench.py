@@ -110,6 +110,8 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "scd2_history",
         "contamination_check",
         "seq_packing",
+        "mixture_weights",
+        "stratified_topn",
     ]
     for name in headline:
         t0 = time.monotonic()

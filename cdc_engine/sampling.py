@@ -138,3 +138,70 @@ def pack_sequences(
             F.max(key).alias("last_doc"),
         )
     )
+
+
+def mixture_weights(
+    docs: DataFrame, stratum: str = "source", text: str = "text"
+) -> DataFrame:
+    """Corpus mixture statistics + temperature-resampling weights per
+    stratum (source/domain/language): the knob every pre-training run
+    turns to keep a giant crawl from drowning small high-quality domains.
+    tau=2 temperature sampling: weight proportional to sqrt(token share)
+    — rare domains are upsampled relative to their raw share, the
+    standard multilingual/multi-domain mitigation.
+
+    Cross-engine exactness: shares and weights are floor-milli-quantized
+    INTEGER ratios. sqrt is IEEE-correctly-rounded in both engines and is
+    taken of an exact bigint, then floored to a bigint BEFORE the ratio,
+    so no engine-ordered float summation ever happens.
+
+    Shape (the 100 TB story): ONE hash aggregate on the stratum (map-side
+    combinable; stratum cardinality is tiny — tens of domains), then all
+    ratio math runs on the tiny per-stratum relation against a broadcast
+    1-row totals relation. The corpus is scanned once, two columns."""
+    n_tok = F.size(
+        F.filter(F.split(F.col(text), r"\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    per = docs.groupBy(stratum).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    ).withColumn("sqrt_q", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
+    totals = per.agg(
+        F.sum("n_tokens").alias("_tot_tok"), F.sum("sqrt_q").alias("_tot_sqrt")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            stratum,
+            "n_docs",
+            "n_tokens",
+            F.floor(F.lit(1000) * F.col("n_tokens") / F.col("_tot_tok"))
+            .cast("long")
+            .alias("share_milli"),
+            F.floor(F.lit(1000) * F.col("sqrt_q") / F.col("_tot_sqrt"))
+            .cast("long")
+            .alias("weight_milli"),
+        )
+    )
+
+
+def stratified_topn(
+    df: DataFrame, stratum: str = "source", key: str = "doc_id", n: int = 50
+) -> DataFrame:
+    """Deterministic per-stratum top-n subsample: rank rows inside each
+    stratum by the content-stable md5 of the key (the same hash family as
+    dataset_splits, so membership never moves) and keep the first n.
+    The exact-count companion to stratified_sample's rate-based filter —
+    use it when the recipe says "exactly 10k docs per language".
+
+    One window shuffle keyed on the stratum; the hash order makes the
+    pick independent of partitioning, ingestion order, and engine."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(stratum).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= n)
+        .select(stratum, key, "rank")
+    )

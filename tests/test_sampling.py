@@ -90,3 +90,40 @@ def test_pack_sequences_conservation_and_contiguity(spark):
     # doc-id ranges of consecutive bins are disjoint and increasing
     for a, b in zip(bins, bins[1:]):
         assert a["last_doc"] < b["first_doc"]
+
+
+# ---------------------------------------------------------------------------
+# mixture_weights / stratified_topn
+# ---------------------------------------------------------------------------
+
+def test_mixture_weights_temperature_flattens(spark):
+    """tau=2 weights must sit between the raw share and uniform: strictly
+    above share for below-average strata, below for dominant ones — and
+    both milli columns must sum to ~1000 (floor slack < n_strata)."""
+    from cdc_engine.sampling import mixture_weights
+
+    rows = mixture_weights(_docs(spark), stratum="source").collect()
+    n = len(rows)
+    assert sum(r["share_milli"] for r in rows) > 1000 - n
+    assert sum(r["weight_milli"] for r in rows) > 1000 - n
+    mean_share = 1000 / n
+    for r in rows:
+        if r["share_milli"] < mean_share - 1:
+            assert r["weight_milli"] >= r["share_milli"], r
+        if r["share_milli"] > mean_share + 1:
+            assert r["weight_milli"] <= r["share_milli"], r
+
+
+def test_stratified_topn_deterministic_and_exact(spark):
+    from cdc_engine.sampling import stratified_topn
+
+    docs = _docs(spark)
+    a = sorted(stratified_topn(docs, n=10).collect())
+    b = sorted(stratified_topn(docs.repartition(17).orderBy(F.rand(7)), n=10).collect())
+    assert a == b  # membership is a pure function of the key
+    by = {}
+    for r in a:
+        by.setdefault(r["source"], []).append(r["rank"])
+    for src, ranks in by.items():
+        n_src = docs.where(F.col("source") == src).count()
+        assert sorted(ranks) == list(range(1, min(10, n_src) + 1)), src
