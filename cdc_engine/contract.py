@@ -1070,12 +1070,14 @@ def ensure_replay_oracle_bootstrap() -> None:
     os.replace(tmp, f"{REPLAY_ORACLE_DIR}/state_v2_bootstrap.parquet")
 
 
-def q_cdc_replay_mini(spark, sf):
-    """The flagship: the actual CDC engine end-to-end on a WAL derived from
-    this sf's documents — generate, replay, scan. The WAL generator also
-    emits the sequential pandas oracle; this query writes that oracle's
-    comparable projection to replay_oracle_path(sf) for the DuckDB side
-    (atomic rename; see REPLAY_ORACLE_DIR notes on concurrency).
+def _replayed_mini_lake(spark, sf):
+    """Shared fixture for the replay-derived driver queries: generate the
+    seed-deterministic 3k-event mini WAL from this sf's documents (schema
+    change at epoch 2), emit the sequential pandas oracle's comparable
+    projection to replay_oracle_path(sf) for the DuckDB side (atomic
+    rename; see REPLAY_ORACLE_DIR notes on concurrency), and replay into a
+    fresh COW lake. Identical config in every caller => identical final
+    state => one oracle file serves them all.
     Projection notes: timestamps as unix micros (no tz ambiguity), html as
     an md5 fingerprint (binary cells are driver-unhashable), fetch_status
     null-coalesced to -1 (nullable-int pandas dtype drift)."""
@@ -1114,6 +1116,13 @@ def q_cdc_replay_mini(spark, sf):
 
     lake = SnapLake.create(f"{base}/lake", PAGES_SCHEMA_V1, n_buckets=8)
     replay(spark, lake, wal_dir, CdcConfig(events_per_epoch=1_000))
+    return lake
+
+
+def q_cdc_replay_mini(spark, sf):
+    """The flagship: the actual CDC engine end-to-end on a WAL derived from
+    this sf's documents — generate, replay, scan (_replayed_mini_lake)."""
+    lake = _replayed_mini_lake(spark, sf)
     return lake.scan(spark).select(
         "url",
         F.unix_micros(F.col("warc_ts")).alias("warc_ts_us"),
@@ -1124,6 +1133,34 @@ def q_cdc_replay_mini(spark, sf):
             "fetch_status"
         ),
     ).transform(_p, "url")
+
+
+def q_incremental_mv(spark, sf):
+    """Incrementally-maintained materialized GROUP BY over the replayed
+    mini lake (mview.IncrementalAggView): sync the view at lake version 1
+    (one epoch in, BEFORE the mid-stream schema change introduces
+    fetch_status), then catch up to head with the telescoped two-scan
+    touched-bucket delta — never a full rescan. The returned view must
+    equal a fresh GROUP BY over the final LWW state, which is exactly what
+    the DuckDB oracle computes over the replay-oracle parquet."""
+    from cdc_engine.mview import AggSpec, IncrementalAggView
+
+    lake = _replayed_mini_lake(spark, sf)
+    mv = IncrementalAggView(
+        lake,
+        "by_lang",
+        ["lang"],
+        [
+            AggSpec("n_pages", "count"),
+            AggSpec("n_fetched", "count", "fetch_status"),
+            AggSpec("status_sum", "sum", "fetch_status"),
+        ],
+    )
+    mv.full_refresh(spark, version=1)
+    st = mv.incremental_refresh(spark)
+    if st["mode"] != "incremental":  # the query exists to prove this path
+        raise RuntimeError(f"expected incremental refresh, got {st['mode']}")
+    return mv.df(spark).transform(_p, "lang")
 
 
 # --------------------------------------------------------------------------
@@ -1699,6 +1736,21 @@ ORACLE_SQL: dict[str, str] = {
         WHERE sf_tag = {_SF_TAG_SQL}
         ORDER BY url
     """,
+    # same oracle parquet as the flagship (identical WAL config => identical
+    # final state); -1 is the projection's NULL sentinel for fetch_status,
+    # unmapped before aggregating so COUNT/SUM see real NULLs
+    "incremental_mv": f"""
+        WITH st AS (
+            SELECT DISTINCT url, lang, fetch_status
+            FROM read_parquet('{_REPLAY_GLOB}')
+            WHERE sf_tag = {_SF_TAG_SQL}
+        )
+        SELECT lang,
+               COUNT(*) AS n_pages,
+               COUNT(CASE WHEN fetch_status <> -1 THEN 1 END) AS n_fetched,
+               CAST(SUM(CASE WHEN fetch_status <> -1 THEN fetch_status END) AS BIGINT) AS status_sum
+        FROM st GROUP BY lang ORDER BY lang
+    """,
     "edit_distance_rescore": """
         WITH {LSH},
         pre AS (SELECT doc_id, substring(text, 1, 64) AS p FROM documents)
@@ -1968,6 +2020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_replay_mini": q_cdc_replay_mini,
     "simhash_candidates": q_simhash_candidates,
     # ---- NEW this round: need their first driver row ----------------------
+    "incremental_mv": q_incremental_mv,
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
     "seq_packing": q_seq_packing,

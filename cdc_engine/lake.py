@@ -762,6 +762,11 @@ class SnapLake:
                 f"(s.warc_ts = t.warc_ts and s.seq > t.{INTERNAL_SEQ}) end)"
             )
             s_newer = F.expr(newer_sql)
+            # needed by the no-input_stats lineage fallback below (direct
+            # merge() callers; apply_epoch always passes input_stats and
+            # takes the Observation path instead)
+            s_here = F.col("s.url").isNotNull()
+            t_here = F.col("t.url").isNotNull()
             pick = [
                 F.expr(f"case when {newer_sql} then s.`{c}` else t.`{c}` end as `{c}`")
                 for c in user_cols
