@@ -1157,7 +1157,9 @@ def q_incremental_mv(spark, sf):
         ],
     )
     mv.full_refresh(spark, version=1)
-    st = mv.incremental_refresh(spark)
+    # route= pins the delta path: these epochs carry ~1k distinct urls, so
+    # auto's cost model would (correctly) prefer a recompute at 8 buckets
+    st = mv.incremental_refresh(spark, route="incremental")
     if st["mode"] != "incremental":  # the query exists to prove this path
         raise RuntimeError(f"expected incremental refresh, got {st['mode']}")
     return mv.df(spark).transform(_p, "lang")

@@ -22,6 +22,13 @@ changed resolve their file lists). MoR compaction commits that rewrite
 files without changing state produce a delta of exact zeros and fall out
 in the merge.
 
+Routing is cost-based: with url-hash bucketing an epoch of k distinct
+keys touches ~min(k, n_buckets) buckets, and the delta reads touched
+buckets at BOTH versions — so past touched = n_buckets/2 a plain
+recompute reads less, and ``incremental_refresh(route='auto')`` takes it.
+The incremental path's 100 TB win case is the operational norm: trickle
+epochs and near-real-time view freshness, where touched << n_buckets.
+
 Scope (documented, not hidden): only retraction-capable aggregates.
 MIN/MAX are NOT self-maintainable under deletes (losing the current min
 requires rescanning the group) and are rejected at construction. SUM over
@@ -210,10 +217,15 @@ class IncrementalAggView:
         state = self._weighted_agg(self._live_at(spark, v, None), +1).where(F.col(_N) > 0)
         return self._commit_state(spark, state, v, mode="full", touched=None)
 
-    def incremental_refresh(self, spark: SparkSession) -> dict:
+    def incremental_refresh(self, spark: SparkSession, route: str = "auto") -> dict:
         """Advance the view from its synced lake version to head with two
         touched-bucket scans. Falls back to full_refresh when the synced
-        manifest has been expired or predates sharded file groups."""
+        manifest has been expired, predates sharded file groups, or
+        (``route='auto'``) when the touched-bucket delta would read more
+        than a recompute; ``route='incremental'`` forces the delta path
+        (tests / correctness proofs)."""
+        if route not in ("auto", "incremental"):
+            raise ValueError(f"route: {route}")
         meta = self._meta()
         if meta is None:
             return self.full_refresh(spark)
@@ -229,6 +241,14 @@ class IncrementalAggView:
         man_new = self.lake.manifest(head)
         touched = self._touched_buckets(man_old, man_new)
         if touched is None:
+            return self.full_refresh(spark)
+        # cost-based route: the delta reads the touched buckets at BOTH
+        # versions (2 x touched/n_buckets of the table) while a full
+        # recompute reads the table once — with url-hash bucketing, an
+        # epoch of k distinct urls touches ~min(k, n_buckets) buckets, so
+        # a fat or scattered catch-up is cheaper recomputed. Break even at
+        # touched = n_buckets/2; prefer full at or past it.
+        if route == "auto" and 2 * len(touched) >= man_new["n_buckets"]:
             return self.full_refresh(spark)
         stats = {
             "mode": "incremental",

@@ -58,7 +58,7 @@ def test_mview_cow_updates_deletes(spark, tmp_path):
     # epoch 2: delete the last null-lang row -> group vanishes
     lake.merge(spark, _batch(spark, [(8, "delete", "u/d", None, None)]), epoch_id=2)
 
-    st = mv.incremental_refresh(spark)
+    st = mv.incremental_refresh(spark, route="incremental")
     assert st["mode"] == "incremental" and st["from_version"] == 1
     expect = _rows(
         lake.scan(spark).groupBy("lang").agg(
@@ -96,7 +96,7 @@ def test_mview_sum_null_restoration(spark, tmp_path):
     lake.merge(spark, b([(1, "upsert", "u/a", "en", 200), (2, "upsert", "u/b", "en", None)]), 0)
     mv.full_refresh(spark)
     lake.merge(spark, b([(3, "delete", "u/a", "en", None)]), 1)
-    mv.incremental_refresh(spark)
+    mv.incremental_refresh(spark, route="incremental")
     got = {r["lang"]: (r["n"], r["s"]) for r in mv.df(spark).collect()}
     assert got == {"en": (1, None)}  # sum NULL again, count 1 (u/b survives)
 
@@ -127,7 +127,7 @@ def test_mview_walgen_replay_matches_recompute(spark, tmp_path, wal_evolving, mo
     # sync at an EARLY version (schema there predates fetch_status: the
     # missing-column NULL-fill path), then catch up head-v1 in ONE step
     mv.full_refresh(spark, version=1)
-    st = mv.incremental_refresh(spark)
+    st = mv.incremental_refresh(spark, route="incremental")
     assert st["mode"] == "incremental" and st["from_version"] == 1
 
     expect = _rows(
@@ -160,6 +160,30 @@ def test_mview_scan_is_bounded_to_touched_buckets(spark, tmp_path):
     assert st["mode"] == "incremental"
     assert st["touched_buckets"] == 1
     assert st["files_scanned_new"] < st["files_total_new"]
+    assert _rows(mv.df(spark)) == _rows(
+        lake.scan(spark).groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def test_mview_auto_routes_scattered_epoch_to_full(spark, tmp_path):
+    """url-hash bucketing scatters a many-url epoch across most buckets;
+    the delta would read touched buckets TWICE (both versions), so auto
+    routing must recompute instead — and still be correct."""
+    lake = SnapLake.create(str(tmp_path / "lake"), PAGES_SCHEMA_V1, n_buckets=8)
+    lake.merge(
+        spark,
+        _batch(spark, [(i, "upsert", f"u/{i}", "en", "x") for i in range(64)]),
+        epoch_id=0,
+    )
+    mv = IncrementalAggView(lake, "v", ["lang"], [AggSpec("n", "count")])
+    mv.full_refresh(spark)
+    lake.merge(
+        spark,
+        _batch(spark, [(100 + i, "upsert", f"u/{i}", "fi", "y") for i in range(32)]),
+        epoch_id=1,
+    )
+    st = mv.incremental_refresh(spark)  # auto
+    assert st["mode"] == "full"
     assert _rows(mv.df(spark)) == _rows(
         lake.scan(spark).groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     )
