@@ -1135,6 +1135,35 @@ def q_cdc_replay_mini(spark, sf):
     ).transform(_p, "url")
 
 
+def q_line_dedup(spark, sf):
+    """C4-style cross-document line dedup with reconstruction
+    (textops.line_dedup). The synthetic documents carry no newlines, so
+    the query first reflows each doc into 8-token lines (pure Catalyst:
+    token array -> slice windows -> array_join) — template-drawn docs
+    share aligned token runs, so reflowed lines recur across near-dups
+    and the df >= 3 boilerplate rule actually fires. Empty/NULL texts map
+    to NULL (no lines) so both engines agree on degenerate docs."""
+    docs = t(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    docs2 = docs.select("doc_id", toks.alias("tk"))
+    reflow = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size("tk") - 1) / 8).cast("int")),
+            lambda i: F.array_join(F.slice("tk", i * F.lit(8) + 1, 8), " "),
+        ),
+        "\n",
+    )
+    lined = docs2.select(
+        "doc_id",
+        F.when(F.size("tk") > 0, reflow).otherwise(F.lit(None).cast("string")).alias(
+            "text"
+        ),
+    )
+    from cdc_engine.textops import line_dedup
+
+    return line_dedup(lined, min_df=3).transform(_p, "doc_id")
+
+
 def q_incremental_mv(spark, sf):
     """Incrementally-maintained materialized GROUP BY over the replayed
     mini lake (mview.IncrementalAggView): sync the view at lake version 1
@@ -1738,6 +1767,44 @@ ORACLE_SQL: dict[str, str] = {
         WHERE sf_tag = {_SF_TAG_SQL}
         ORDER BY url
     """,
+    # reflow-to-8-token-lines mirror of q_line_dedup; df grouped on the line
+    # text (Spark groups on md5(line) — same partition of the line space)
+    "line_dedup": """
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+            FROM documents
+        ),
+        tl AS (
+            SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS idx
+            FROM tk
+        ),
+        ln AS (
+            SELECT doc_id, CAST(floor((idx - 1) / 8) AS BIGINT) AS lpos,
+                   string_agg(tok, ' ' ORDER BY idx) AS line
+            FROM tl GROUP BY doc_id, lpos
+        ),
+        dfq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM ln GROUP BY line),
+        kept AS (
+            SELECT l.doc_id, l.lpos, l.line
+            FROM ln l JOIN dfq d ON l.line = d.line WHERE d.df < 3
+        ),
+        reb AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY lpos) AS clean_text
+            FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM ln GROUP BY doc_id)
+        SELECT t0.doc_id,
+               CAST(COALESCE(tot.n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(COALESCE(tot.n_lines, 0) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+               CASE WHEN tot.n_lines IS NULL THEN NULL
+                    ELSE COALESCE(reb.clean_text, '') END AS clean_text
+        FROM tk t0
+        LEFT JOIN tot ON t0.doc_id = tot.doc_id
+        LEFT JOIN reb ON t0.doc_id = reb.doc_id
+        ORDER BY t0.doc_id
+    """,
     # same oracle parquet as the flagship (identical WAL config => identical
     # final state); -1 is the projection's NULL sentinel for fetch_status,
     # unmapped before aggregating so COUNT/SUM see real NULLs
@@ -2023,6 +2090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_candidates": q_simhash_candidates,
     # ---- NEW this round: need their first driver row ----------------------
     "incremental_mv": q_incremental_mv,
+    "line_dedup": q_line_dedup,
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
     "seq_packing": q_seq_packing,

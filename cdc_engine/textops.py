@@ -299,3 +299,54 @@ def boilerplate_share(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame
             ).alias("boiler_milli"),
         )
     )
+
+
+def line_dedup(docs: DataFrame, col: str = "text", min_df: int = 3) -> DataFrame:
+    """C4-style cross-document line deduplication WITH text reconstruction:
+    any line occurring in >= min_df distinct documents is boilerplate
+    (nav bars, cookie banners, licence footers) and is removed from every
+    document; the surviving lines are reassembled in original order.
+
+    Shape at 100 TB: posexplode lines (order keys ride along), aggregate
+    line document-frequency keyed on md5(line) so the exchange carries a
+    32-char hash instead of the line text, join the narrow df relation
+    back, and rebuild each doc with one groupBy(doc_id) + array_sort over
+    (pos, line) structs — every step keyed, nothing pairwise, no global
+    window. The rebuild shuffle reuses the same doc_id key a downstream
+    per-doc op would need anyway.
+
+    Returns doc_id, n_lines, n_removed, clean_text ('' when every line was
+    boilerplate or the doc was empty; NULL text stays NULL)."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    dfreq = lines.groupBy("lh").agg(F.count_distinct("doc_id").alias("df"))
+    kept = lines.join(dfreq, "lh").where(F.col("df") < F.lit(min_df))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        docs.select("doc_id", F.col(col).isNull().alias("_null_text"))
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias("n_lines"),
+            (
+                F.coalesce(F.col("n_lines"), F.lit(0).cast("long"))
+                - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+            ).alias("n_removed"),
+            F.when(F.col("_null_text"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("clean_text"), F.lit("")))
+            .alias("clean_text"),
+        )
+    )
