@@ -1164,6 +1164,40 @@ def q_line_dedup(spark, sf):
     return line_dedup(lined, min_df=3).transform(_p, "doc_id")
 
 
+def q_pii_scrub(spark, sf):
+    """PII redaction (textops.pii_scrub) over a deterministic PII-bearing
+    corpus derived from events (emails, IPv4s, phone numbers synthesised
+    from event/user ids; 'view' rows are benign so zero-counts are
+    exercised). Counts computed against the original text; redaction in
+    the fixed email -> ip -> phone order in both engines."""
+    from cdc_engine.textops import pii_scrub
+
+    ev = t(spark, sf, "events")
+    pii_txt = (
+        F.when(
+            F.col("event_type") == "view",
+            F.concat(F.lit("benign note "), F.col("event_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("contact u"),
+                F.col("user_id").cast("string"),
+                F.lit("@mail"),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit(".example.com from 10."),
+                (F.col("user_id") % 200).cast("string"),
+                F.lit("."),
+                (F.col("event_id") % 250).cast("string"),
+                F.lit(".7 or call +358-40-"),
+                F.lpad((F.col("event_id") % 100000).cast("string"), 5, "0"),
+                F.lit(" end"),
+            )
+        )
+    )
+    src = ev.select("event_id", pii_txt.alias("text"))
+    return pii_scrub(src, "text").transform(_p, "event_id")
+
+
 def q_incremental_mv(spark, sf):
     """Incrementally-maintained materialized GROUP BY over the replayed
     mini lake (mview.IncrementalAggView): sync the view at lake version 1
@@ -1767,6 +1801,31 @@ ORACLE_SQL: dict[str, str] = {
         WHERE sf_tag = {_SF_TAG_SQL}
         ORDER BY url
     """,
+    # PII corpus + scrub mirrored from q_pii_scrub / textops.pii_scrub; the
+    # regexes are the shared module constants (Java-regex / RE2 portable)
+    "pii_scrub": """
+        WITH src AS (
+            SELECT event_id,
+                   CASE WHEN event_type = 'view'
+                        THEN 'benign note ' || CAST(event_id AS VARCHAR)
+                        ELSE 'contact u' || CAST(user_id AS VARCHAR)
+                          || '@mail' || CAST(event_id % 7 AS VARCHAR)
+                          || '.example.com from 10.' || CAST(user_id % 200 AS VARCHAR)
+                          || '.' || CAST(event_id % 250 AS VARCHAR)
+                          || '.7 or call +358-40-'
+                          || lpad(CAST(event_id % 100000 AS VARCHAR), 5, '0')
+                          || ' end'
+                   END AS text
+            FROM events)
+        SELECT event_id,
+               CAST(len(regexp_extract_all(text, '{EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{IPV4}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(text, '{PHONE}')) AS BIGINT) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '{EMAIL}', '[EMAIL]', 'g'), '{IPV4}', '[IP]', 'g'),
+                   '{PHONE}', '[PHONE]', 'g') AS clean_text
+        FROM src ORDER BY event_id
+    """,
     # reflow-to-8-token-lines mirror of q_line_dedup; df grouped on the line
     # text (Spark groups on md5(line) — same partition of the line space)
     "line_dedup": """
@@ -2045,6 +2104,15 @@ ORACLE_SQL: dict[str, str] = {
 for _k in ("lsh_candidates", "jaccard_on_lsh", "edit_distance_rescore", "neardup_components"):
     ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{LSH}", _LSH_CTES)
 
+from cdc_engine.textops import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE  # noqa: E402
+
+ORACLE_SQL["pii_scrub"] = (
+    ORACLE_SQL["pii_scrub"]
+    .replace("{EMAIL}", PII_EMAIL_RE)
+    .replace("{IPV4}", PII_IPV4_RE)
+    .replace("{PHONE}", PII_PHONE_RE)
+)
+
 # Dict ORDER is deliberate: the driver harness records exactly the first 50
 # entries per round. Rotation policy (round-3 verdict task 6, applied every
 # round since): every query must have a driver row dated within the last two
@@ -2091,6 +2159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- NEW this round: need their first driver row ----------------------
     "incremental_mv": q_incremental_mv,
     "line_dedup": q_line_dedup,
+    "pii_scrub": q_pii_scrub,
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
     "seq_packing": q_seq_packing,

@@ -350,3 +350,35 @@ def line_dedup(docs: DataFrame, col: str = "text", min_df: int = 3) -> DataFrame
             .alias("clean_text"),
         )
     )
+
+
+# PII patterns chosen for Java-regex / RE2 (DuckDB) parity: no lookaround,
+# no backrefs; \b and bounded classes behave identically in both engines.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE_RE = "\\+[0-9]{1,3}-[0-9]{2,4}-[0-9]{4,9}"
+
+
+def pii_scrub(df: DataFrame, col: str = "text") -> DataFrame:
+    """PII redaction for web-scraped training text: emails, IPv4 literals
+    and international phone numbers counted and replaced by typed markers.
+    Redaction order is fixed (email -> ip -> phone) so engines agree when
+    classes could overlap. Pure Catalyst (regexp_count/regexp_replace,
+    JVM codegen) — the canonical pre-training privacy pass, applied before
+    any dedup so markers don't perturb near-dup signatures."""
+    c = F.col(col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]"), PII_IPV4_RE, "[IP]"
+        ),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    keep = [n for n in df.columns if n != col]
+    return df.select(
+        *keep,
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        scrubbed.alias("clean_text"),
+    )
