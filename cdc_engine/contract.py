@@ -1164,6 +1164,32 @@ def q_line_dedup(spark, sf):
     return line_dedup(lined, min_df=3).transform(_p, "doc_id")
 
 
+def q_url_canonicalize(spark, sf):
+    """URL canonicalization (textops.url_canonicalize) over five messy
+    deterministic variants synthesised from documents (mixed-case host,
+    default ports, tracking params out of order, fragments, trailing and
+    missing slashes). Variants 0 and 1 canonicalize identically, so
+    n_variants (count over canonical_url) proves the dedup collision."""
+    from pyspark.sql import Window
+
+    from cdc_engine.textops import url_canonicalize
+
+    docs = t(spark, sf, "documents")
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://WWW."), F.col("source"), F.lit(".Example.COM:443/a/b?utm_source=x&q=1#frag")))
+        .when(v == 1, F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com/a/b?q=1")))
+        .when(v == 2, F.concat(F.lit("http://"), F.col("source"), F.lit(".example.com:80/a/b/")))
+        .when(v == 3, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/?ref=tw&b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com")))
+    )
+    out = url_canonicalize(docs.select("doc_id", url.alias("url")))
+    return out.withColumn(
+        "n_variants",
+        F.count(F.lit(1)).over(Window.partitionBy("canonical_url")).cast("long"),
+    ).transform(_p, "doc_id")
+
+
 def q_pii_scrub(spark, sf):
     """PII redaction (textops.pii_scrub) over a deterministic PII-bearing
     corpus derived from events (emails, IPv4s, phone numbers synthesised
@@ -1801,6 +1827,49 @@ ORACLE_SQL: dict[str, str] = {
         WHERE sf_tag = {_SF_TAG_SQL}
         ORDER BY url
     """,
+    # url variant CASE + canonicalization mirrored from q_url_canonicalize /
+    # textops.url_canonicalize (shared regex constants, substituted below)
+    "url_canonicalize": """
+        WITH src AS (
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'https://WWW.' || source || '.Example.COM:443/a/b?utm_source=x&q=1#frag'
+                     WHEN 1 THEN 'https://www.' || source || '.example.com/a/b?q=1'
+                     WHEN 2 THEN 'http://' || source || '.example.com:80/a/b/'
+                     WHEN 3 THEN 'https://' || source || '.example.com/?ref=tw&b=2&a=1'
+                     ELSE 'https://' || source || '.example.com'
+                   END AS url
+            FROM documents),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url, '{SCHEME}', 1)) AS scheme,
+                   lower(regexp_extract(url, '{HOST}', 1)) AS host0,
+                   regexp_replace(regexp_extract(url, '{PATH}', 1), '/+$', '') AS p0,
+                   list_filter(string_split(regexp_extract(url, '{QUERY}', 1), '&'),
+                               x -> x <> '') AS nonempty
+            FROM src),
+        canon AS (
+            SELECT doc_id, url,
+                   CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                        ELSE host0 END AS host,
+                   CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path,
+                   scheme,
+                   list_sort(list_filter(nonempty,
+                       x -> NOT regexp_matches(string_split(x, '=')[1], '{TRACK}'))) AS kept,
+                   CAST(len(nonempty) AS BIGINT) AS n_nonempty
+            FROM parts)
+        SELECT doc_id, url,
+               scheme || '://' || host || path ||
+                 CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+                 AS canonical_url,
+               CAST(n_nonempty - len(kept) AS BIGINT) AS n_tracking_dropped,
+               CAST(COUNT(*) OVER (PARTITION BY
+                   scheme || '://' || host || path ||
+                   CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+               ) AS BIGINT) AS n_variants
+        FROM canon ORDER BY doc_id
+    """,
     # PII corpus + scrub mirrored from q_pii_scrub / textops.pii_scrub; the
     # regexes are the shared module constants (Java-regex / RE2 portable)
     "pii_scrub": """
@@ -2113,6 +2182,23 @@ ORACLE_SQL["pii_scrub"] = (
     .replace("{PHONE}", PII_PHONE_RE)
 )
 
+from cdc_engine.textops import (  # noqa: E402
+    URL_HOST_RE,
+    URL_PATH_RE,
+    URL_QUERY_RE,
+    URL_SCHEME_RE,
+    URL_TRACKING_KEY_RE,
+)
+
+ORACLE_SQL["url_canonicalize"] = (
+    ORACLE_SQL["url_canonicalize"]
+    .replace("{SCHEME}", URL_SCHEME_RE)
+    .replace("{HOST}", URL_HOST_RE)
+    .replace("{PATH}", URL_PATH_RE)
+    .replace("{QUERY}", URL_QUERY_RE)
+    .replace("{TRACK}", URL_TRACKING_KEY_RE)
+)
+
 # Dict ORDER is deliberate: the driver harness records exactly the first 50
 # entries per round. Rotation policy (round-3 verdict task 6, applied every
 # round since): every query must have a driver row dated within the last two
@@ -2160,6 +2246,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_mv": q_incremental_mv,
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
+    "url_canonicalize": q_url_canonicalize,
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
     "seq_packing": q_seq_packing,

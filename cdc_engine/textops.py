@@ -382,3 +382,58 @@ def pii_scrub(df: DataFrame, col: str = "text") -> DataFrame:
         F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
         scrubbed.alias("clean_text"),
     )
+
+
+# URL canonicalization regexes — shared with the DuckDB oracle; pure
+# RE2/Java-portable (anchored alternation, no lookaround).
+URL_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+URL_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+URL_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+URL_QUERY_RE = "\\?([^#]*)"
+URL_TRACKING_KEY_RE = "^(utm_.*|gclid|fbclid|ref)$"
+
+
+def url_canonicalize(df: DataFrame, col: str = "url") -> DataFrame:
+    """Crawl-grade URL canonicalization — the precursor to exact URL-level
+    dedup of a web corpus: lowercase scheme+host, strip default ports
+    (:80 http / :443 https), default empty path to '/', strip trailing
+    slashes (root keeps its '/'), drop the fragment, remove tracking
+    params (utm_*, gclid, fbclid, ref) and SORT the survivors so
+    equivalent urls with reordered queries collide.
+
+    Pure Catalyst (regexp extracts + array lambda ops); grouping the
+    output on canonical_url is then exact hash dedup — one keyed shuffle,
+    the same shape as dedup_text.exact_dedup_stats."""
+    u = F.col(col)
+    scheme = F.lower(F.regexp_extract(u, URL_SCHEME_RE, 1))
+    host0 = F.lower(F.regexp_extract(u, URL_HOST_RE, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host0, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host0, ":443$", ""))
+        .otherwise(host0)
+    )
+    path0 = F.regexp_replace(F.regexp_extract(u, URL_PATH_RE, 1), "/+$", "")
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    q = F.regexp_extract(u, URL_QUERY_RE, 1)
+    nonempty = F.filter(F.split(q, "&"), lambda x: x != F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            nonempty,
+            lambda x: ~F.split(x, "=").getItem(0).rlike(URL_TRACKING_KEY_RE),
+        )
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.withColumns(
+        {
+            "canonical_url": canonical,
+            "n_tracking_dropped": (F.size(nonempty) - F.size(kept)).cast("long"),
+        }
+    )
