@@ -2247,6 +2247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
     "url_canonicalize": q_url_canonicalize,
+    "tfidf_topk": q_tfidf_topk,  # new in r5, must get its first row this round
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
     "seq_packing": q_seq_packing,
@@ -2298,7 +2299,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "denylist_scrub": q_denylist_scrub,
     "repetition_stats": q_repetition_stats,
-    "tfidf_topk": q_tfidf_topk,
     # ---- deliberate tail under the 50-row driver cap (see header) --------
     "simhash_fingerprints": q_simhash_fingerprints,
     "multimodal_blob_meta": q_multimodal_blob_meta,
