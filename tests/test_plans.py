@@ -75,9 +75,21 @@ def test_text_ops_have_no_python_nodes(spark):
         "dedup_canonical_map",
         "tfidf_topk",
         "kmeans_refine",
+        "line_dedup",
+        "pii_scrub",
+        "url_canonicalize",
     ):
         p = _plan(QUERIES[name](spark, SF), mode="simple")
         assert "EvalPython" not in p, f"{name} runs Python:\n{p}"
+
+
+def test_line_dedup_df_agg_exchanges_hashes_not_lines(spark):
+    """The cross-doc document-frequency aggregate must key on md5(line):
+    the shuffled relation carries the 32-char hash, never the line text
+    (at 100 TB the df exchange would otherwise move the whole corpus)."""
+    p = _plan(QUERIES["line_dedup"](spark, SF))
+    agg = [l for l in p.splitlines() if "Keys" in l and "lh" in l]
+    assert agg, p
 
 
 def test_neardup_blocking_is_equi_join(spark):
