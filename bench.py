@@ -112,6 +112,9 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "seq_packing",
         "mixture_weights",
         "stratified_topn",
+        "line_dedup",
+        "pii_scrub",
+        "url_canonicalize",
     ]
     for name in headline:
         t0 = time.monotonic()
