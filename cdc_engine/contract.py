@@ -1164,6 +1164,80 @@ def q_line_dedup(spark, sf):
     return line_dedup(lined, min_df=3).transform(_p, "doc_id")
 
 
+def q_changes_feed(spark, sf):
+    """Change data feed (SnapLake.changes — the CDC-OUT surface): build a
+    lake from documents (epoch 0 inserts every doc; epoch 1 deletes
+    doc_id%10==0, updates %10 in {1,2} with a 'rev:' text prefix, and
+    inserts fresh urls for %10==3), then emit the v1->v2 feed. The oracle
+    reconstructs the exact expected feed from the same %10 rules."""
+    import tempfile
+
+    from cdc_engine import SnapLake
+    from cdc_engine.schemas import PAGES_SCHEMA_V1
+
+    docs = t(spark, sf, "documents")
+    ts0 = F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+    ts1 = F.to_timestamp(F.lit("2025-01-02 00:00:00"))
+    url = F.concat(F.lit("https://cdf/"), F.col("doc_id").cast("string"))
+
+    def wal(seq, op, u, ts, text, lang):
+        return [
+            seq.cast("long").alias("seq"),
+            op.alias("op"),
+            u.alias("url"),
+            ts.alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            text.alias("text"),
+            lang.alias("lang"),
+            F.lit(0).alias("source_partition"),
+        ]
+
+    e0 = docs.select(*wal(F.col("doc_id"), F.lit("upsert"), url, ts0, F.col("text"), F.col("lang")))
+    m = F.col("doc_id") % 10
+    e1 = (
+        docs.where(m.isin(0, 1, 2))
+        .select(
+            *wal(
+                F.col("doc_id") + 100000,
+                F.when(m == 0, F.lit("delete")).otherwise(F.lit("upsert")),
+                url,
+                ts1,
+                F.when(m == 0, F.lit(None).cast("string")).otherwise(
+                    F.concat(F.lit("rev:"), F.col("text"))
+                ),
+                F.when(m == 0, F.lit(None).cast("string")).otherwise(F.col("lang")),
+            )
+        )
+        .unionByName(
+            docs.where(m == 3).select(
+                *wal(
+                    F.col("doc_id") + 200000,
+                    F.lit("upsert"),
+                    F.concat(F.lit("https://cdf/new/"), F.col("doc_id").cast("string")),
+                    ts1,
+                    F.col("text"),
+                    F.col("lang"),
+                )
+            )
+        )
+    )
+    lake = SnapLake.create(
+        tempfile.mkdtemp(prefix="cdf_lake_") + "/lake", PAGES_SCHEMA_V1, n_buckets=8
+    )
+    lake.merge(spark, e0, epoch_id=0, collect_lineage=False)
+    lake.merge(spark, e1, epoch_id=1, collect_lineage=False)
+    return lake.changes(spark, 1, 2).select(
+        "url",
+        "change_type",
+        "seq_before",
+        "seq_after",
+        "before_text",
+        "after_text",
+        "before_lang",
+        "after_lang",
+    ).transform(_p, "url")
+
+
 def q_url_canonicalize(spark, sf):
     """URL canonicalization (textops.url_canonicalize) over five messy
     deterministic variants synthesised from documents (mixed-case host,
@@ -1827,6 +1901,29 @@ ORACLE_SQL: dict[str, str] = {
         WHERE sf_tag = {_SF_TAG_SQL}
         ORDER BY url
     """,
+    # the %10 epoch rules of q_changes_feed replayed as pure SQL: the feed
+    # is fully determined by the rules, so the oracle needs no engine
+    "changes_feed": """
+        SELECT 'https://cdf/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 10 = 0 THEN 'delete' ELSE 'update' END AS change_type,
+               CAST(doc_id AS BIGINT) AS seq_before,
+               CASE WHEN doc_id % 10 = 0 THEN NULL
+                    ELSE CAST(doc_id + 100000 AS BIGINT) END AS seq_after,
+               text AS before_text,
+               CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 'rev:' || text END AS after_text,
+               lang AS before_lang,
+               CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS after_lang
+        FROM documents WHERE doc_id % 10 IN (0, 1, 2)
+        UNION ALL
+        SELECT 'https://cdf/new/' || CAST(doc_id AS VARCHAR),
+               'insert',
+               CAST(NULL AS BIGINT),
+               CAST(doc_id + 200000 AS BIGINT),
+               CAST(NULL AS VARCHAR), text,
+               CAST(NULL AS VARCHAR), lang
+        FROM documents WHERE doc_id % 10 = 3
+        ORDER BY url
+    """,
     # url variant CASE + canonicalization mirrored from q_url_canonicalize /
     # textops.url_canonicalize (shared regex constants, substituted below)
     "url_canonicalize": """
@@ -2247,6 +2344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
     "url_canonicalize": q_url_canonicalize,
+    "changes_feed": q_changes_feed,
     "tfidf_topk": q_tfidf_topk,  # new in r5, must get its first row this round
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,

@@ -568,6 +568,96 @@ class SnapLake:
         user_cols = [f.name for f in T.StructType.fromJson(man["schema"]).fields]
         return df.where(~F.col(INTERNAL_DELETED)).select(*user_cols)
 
+    def touched_buckets_between(self, v_old: int, v_new: int) -> set[int] | None:
+        """Buckets whose covering file set differs between two manifests —
+        pure metadata (group refs compared before any side-file resolve;
+        only changed groups resolve their lists). None = unknowable
+        (legacy inline file list) => caller must treat ALL buckets as
+        touched. Shared by incremental MV maintenance (mview.py) and the
+        change data feed (``changes``): both bound their scans to exactly
+        these buckets, which is what keeps them trickle-epoch-cheap at
+        100 TB."""
+        man_old, man_new = self.manifest(v_old), self.manifest(v_new)
+        if "file_groups" not in man_old or "file_groups" not in man_new:
+            return None
+        n_buckets = man_new["n_buckets"]
+        go = man_old["file_groups"]["groups"]
+        gn = man_new["file_groups"]["groups"]
+        touched: set[int] = set()
+        for g in set(go) | set(gn):
+            ro, rn = go.get(g), gn.get(g)
+            rpo = self._ref_path(ro.get("ref") or ro["path"]) if ro else None
+            rpn = self._ref_path(rn.get("ref") or rn["path"]) if rn else None
+            if rpo == rpn:
+                continue  # group untouched between the two versions
+            fo = self._resolve_ref(ro.get("ref") or ro["path"]) if ro else []
+            fn = self._resolve_ref(rn.get("ref") or rn["path"]) if rn else []
+            po = {f["path"]: f for f in fo}
+            pn = {f["path"]: f for f in fn}
+            for p in set(po) ^ set(pn):
+                f = po.get(p) or pn[p]
+                bmod = f.get("bmod")
+                if bmod and bmod <= n_buckets:  # class file: whole residue class
+                    touched.update(range(f["bucket"] % bmod, n_buckets, bmod))
+                else:
+                    touched.add(f["bucket"])
+        return touched
+
+    def changes(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed between two snapshots (Delta CDF / Iceberg
+        changelog analog) — the CDC-OUT surface closing the loop for
+        downstream consumers: one row per url whose live state differs
+        between ``from_version`` and ``to_version`` (default head), with
+        change_type in {'insert','update','delete'} and the before/after
+        seq. Telescopes like the incremental MV: any version distance is
+        two scans bounded to the touched buckets (metadata diff), joined
+        full-outer on url — keyed, never a table rescan on trickle
+        epochs. Unchanged carried rows (COW rewrites copy rows without
+        touching them) drop out on seq equality, so compaction/rewrite
+        commits emit an empty feed."""
+        v1 = self.head_version() if to_version is None else to_version
+        man = self.manifest(v1)
+        n_buckets = man["n_buckets"]
+        touched = self.touched_buckets_between(from_version, v1)
+        user_cols = [f.name for f in T.StructType.fromJson(man["schema"]).fields]
+
+        def _live(version: int) -> DataFrame:
+            df = self.scan_internal(spark, version, buckets=touched)
+            df = df.where(~F.col(INTERNAL_DELETED))
+            if touched is not None:
+                df = df.where(
+                    bucket_expr("url", n_buckets).isin([int(b) for b in touched])
+                )
+            # conform older snapshots to the head schema (evolution NULL-fill)
+            have = set(df.columns)
+            for f in T.StructType.fromJson(man["schema"]).fields:
+                if f.name not in have:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return df.select("url", F.col(INTERNAL_SEQ).alias("_seq_v"), *[c for c in user_cols if c != "url"])
+
+        old = _live(from_version).alias("o")
+        new = _live(v1).alias("n")
+        j = old.join(new, F.col("o.url") == F.col("n.url"), "full_outer")
+        change = (
+            F.when(F.col("o.url").isNull(), F.lit("insert"))
+            .when(F.col("n.url").isNull(), F.lit("delete"))
+            .when(F.col("o._seq_v") != F.col("n._seq_v"), F.lit("update"))
+        )  # same url, same seq => carried row, not a change (NULL => filtered)
+        payload = [c for c in user_cols if c != "url"]
+        return (
+            j.select(
+                F.coalesce(F.col("n.url"), F.col("o.url")).alias("url"),
+                change.alias("change_type"),
+                F.col("o._seq_v").alias("seq_before"),
+                F.col("n._seq_v").alias("seq_after"),
+                *[F.col(f"o.`{c}`").alias(f"before_{c}") for c in payload],
+                *[F.col(f"n.`{c}`").alias(f"after_{c}") for c in payload],
+            )
+            .where(F.col("change_type").isNotNull())
+        )
+
     def prunable_files(self, ts_min, ts_max, version: int | None = None) -> tuple[int, int]:
         """(files kept, files total) for a time-bounded scan — the pruning
         observability hook used by tests and ops."""

@@ -80,16 +80,6 @@ class AggSpec:
             raise ValueError("sum needs a column")
 
 
-def _covered_buckets(f: dict, n_buckets: int) -> set[int]:
-    """Buckets a manifest file entry may hold rows for (class files cover
-    their whole residue class — conservative, mirrors lake._entry_covers)."""
-    bmod = f.get("bmod")
-    if not bmod:
-        return {f["bucket"]}
-    r = f["bucket"] % bmod
-    return set(range(r, n_buckets, bmod)) if bmod <= n_buckets else {f["bucket"]}
-
-
 class IncrementalAggView:
     """A named materialized GROUP BY over ``lake``, stored as a tiny
     versioned parquet + meta.json under ``<lake>/mview/<name>/`` (outside
@@ -186,31 +176,6 @@ class IncrementalAggView:
                 df = df.withColumn(c, F.lit(None).cast(by_name[c]))
         return df.select(*sorted(need))
 
-    # --------------------------------------------------- manifest diffing
-    def _touched_buckets(self, man_old: dict, man_new: dict) -> set[int] | None:
-        """Buckets whose covering file set differs between two manifests —
-        pure metadata (refs compared before any side-file resolve). None
-        means unknowable (legacy inline file list) => caller full-scans."""
-        if "file_groups" not in man_old or "file_groups" not in man_new:
-            return None
-        n_buckets = man_new["n_buckets"]
-        go = man_old["file_groups"]["groups"]
-        gn = man_new["file_groups"]["groups"]
-        touched: set[int] = set()
-        for g in set(go) | set(gn):
-            ro, rn = go.get(g), gn.get(g)
-            rpo = self.lake._ref_path(ro.get("ref") or ro["path"]) if ro else None
-            rpn = self.lake._ref_path(rn.get("ref") or rn["path"]) if rn else None
-            if rpo == rpn:
-                continue  # group untouched since the synced version
-            fo = self.lake._resolve_ref(ro.get("ref") or ro["path"]) if ro else []
-            fn = self.lake._resolve_ref(rn.get("ref") or rn["path"]) if rn else []
-            po = {f["path"]: f for f in fo}
-            pn = {f["path"]: f for f in fn}
-            for p in set(po) ^ set(pn):
-                touched |= _covered_buckets(po.get(p) or pn[p], n_buckets)
-        return touched
-
     # ------------------------------------------------------------ refresh
     def full_refresh(self, spark: SparkSession, version: int | None = None) -> dict:
         v = self.lake.head_version() if version is None else version
@@ -239,7 +204,7 @@ class IncrementalAggView:
         except FileNotFoundError:
             return self.full_refresh(spark)  # synced snapshot expired
         man_new = self.lake.manifest(head)
-        touched = self._touched_buckets(man_old, man_new)
+        touched = self.lake.touched_buckets_between(v0, head)
         if touched is None:
             return self.full_refresh(spark)
         # cost-based route: the delta reads the touched buckets at BOTH
