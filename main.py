@@ -100,6 +100,30 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("status")
     common(p)
 
+    # change data feed between two snapshots (CDC out, Delta CDF analog)
+    p = sub.add_parser("changes")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--from-version", type=int, required=True)
+    p.add_argument("--to-version", type=int, default=None,
+                   help="default: head")
+    p.add_argument("--out", default=None,
+                   help="write the feed to this parquet; omit for counts only")
+    p.add_argument("--master", default=None)
+
+    # incrementally-maintained materialized GROUP BY over the lake
+    p = sub.add_parser("mview")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--name", required=True)
+    p.add_argument("--group-cols", required=True,
+                   help="comma-separated grouping columns")
+    p.add_argument("--sum-cols", default="",
+                   help="comma-separated columns to SUM (count(*) is always kept)")
+    p.add_argument("--full", action="store_true",
+                   help="force a full refresh instead of incremental catch-up")
+    p.add_argument("--out", default=None,
+                   help="also write the finalized view to this parquet")
+    p.add_argument("--master", default=None)
+
     # near-dup survivorship over a documents table (the training-data
     # pipeline side of the engine): LSH candidates -> exact Jaccard ->
     # connected components -> keep min(doc_id) per cluster
@@ -122,7 +146,7 @@ def main(argv: list[str] | None = None) -> None:
 
     args = ap.parse_args(argv)
     spark = build_session(f"cdc_engine-{args.cmd}", master=args.master)
-    if args.cmd != "neardup":
+    if args.cmd not in ("neardup", "changes", "mview"):
         cfg = CdcConfig(
             events_per_epoch=args.events_per_epoch,
             n_buckets=args.n_buckets,
@@ -159,6 +183,42 @@ def main(argv: list[str] | None = None) -> None:
         lake = SnapLake(args.lake)
         r = lake.expire_snapshots(keep_last=args.keep_last, vacuum=not args.no_vacuum)
         print(json.dumps(r))
+    elif args.cmd == "changes":
+        from pyspark.sql import functions as F
+
+        lake = SnapLake(args.lake)
+        to_v = args.to_version if args.to_version is not None else lake.head_version()
+        feed = lake.changes(spark, args.from_version, to_v)
+        if args.out:
+            feed.write.mode("errorifexists").parquet(args.out)
+            feed = spark.read.parquet(args.out)
+        by_type = {
+            r["change_type"]: r["n"]
+            for r in feed.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({
+            "from_version": args.from_version, "to_version": to_v,
+            "changes": sum(by_type.values()),
+            "inserts": by_type.get("insert", 0),
+            "updates": by_type.get("update", 0),
+            "deletes": by_type.get("delete", 0),
+        }))
+    elif args.cmd == "mview":
+        from cdc_engine.mview import AggSpec, IncrementalAggView
+
+        lake = SnapLake(args.lake)
+        specs = [AggSpec("n", "count")] + [
+            AggSpec(f"sum_{c}", "sum", c)
+            for c in args.sum_cols.split(",") if c
+        ]
+        mv = IncrementalAggView(
+            lake, args.name, [c for c in args.group_cols.split(",") if c], specs
+        )
+        st = mv.full_refresh(spark) if args.full else mv.incremental_refresh(spark)
+        if args.out:
+            mv.df(spark).write.mode("errorifexists").parquet(args.out)
+        st["groups"] = mv.df(spark).count()
+        print(json.dumps(st))
     elif args.cmd == "neardup":
         from pyspark.sql import functions as F
 
