@@ -1164,6 +1164,15 @@ def q_line_dedup(spark, sf):
     return line_dedup(lined, min_df=3).transform(_p, "doc_id")
 
 
+def q_bpe_pair_topk(spark, sf):
+    """Top-30 BPE merge candidates over documents (textops.bpe_pair_topk):
+    corpus -> word-frequency relation -> weighted adjacent-char-pair
+    counts. Exact integers, total (count DESC, pair ASC) order."""
+    from cdc_engine.textops import bpe_pair_topk
+
+    return bpe_pair_topk(t(spark, sf, "documents"), k=30)
+
+
 def q_changes_feed(spark, sf):
     """Change data feed (SnapLake.changes — the CDC-OUT surface): build a
     lake from documents (epoch 0 inserts every doc; epoch 1 deletes
@@ -1901,6 +1910,27 @@ ORACLE_SQL: dict[str, str] = {
         WHERE sf_tag = {_SF_TAG_SQL}
         ORDER BY url
     """,
+    # word-frequency compression then weighted in-word pair enumeration,
+    # mirroring textops.bpe_pair_topk; range(1, len) is end-exclusive =
+    # Spark's sequence(1, len-1)
+    "bpe_pair_topk": """
+        WITH wf AS (
+            SELECT w, COUNT(*) AS wfreq FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+                FROM documents)
+            GROUP BY w
+        ),
+        pairs AS (
+            SELECT wfreq,
+                   unnest(list_transform(range(1, length(w)),
+                          i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+            FROM wf
+        )
+        SELECT pair, CAST(SUM(wfreq) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 30
+    """,
     # the %10 epoch rules of q_changes_feed replayed as pure SQL: the feed
     # is fully determined by the rules, so the oracle needs no engine
     "changes_feed": """
@@ -2345,6 +2375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "url_canonicalize": q_url_canonicalize,
     "changes_feed": q_changes_feed,
+    "bpe_pair_topk": q_bpe_pair_topk,
     "tfidf_topk": q_tfidf_topk,  # new in r5, must get its first row this round
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,

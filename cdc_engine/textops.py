@@ -437,3 +437,42 @@ def url_canonicalize(df: DataFrame, col: str = "url") -> DataFrame:
             "n_tracking_dropped": (F.size(nonempty) - F.size(kept)).cast("long"),
         }
     )
+
+
+def bpe_pair_topk(docs: DataFrame, k: int = 30) -> DataFrame:
+    """One statistics round of byte-pair-encoding vocabulary induction:
+    the top-k adjacent character pairs by corpus frequency — the quantity
+    a BPE trainer maximizes at every merge step.
+
+    Scale shape (how real BPE trainers survive big corpora): the corpus
+    collapses FIRST into a word-frequency relation (one map-side-
+    combinable hash agg — the only corpus-sized exchange); pair
+    enumeration then runs over the vocab-bounded word list, weighting
+    each in-word pair by the word's corpus count. An adjacent char pair
+    is just substring(word, i, 2), so the enumeration is an in-row
+    transform over 1..len-1 — no arrays-of-chars, no joins. Deterministic
+    (count DESC, pair ASC) ordering makes the top-k an exact
+    cross-engine quantity."""
+    wf = (
+        docs.select(F.explode(tokens_expr()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wf"))
+    )
+    pairs = wf.select(
+        "wf",
+        F.explode(
+            F.when(
+                F.length("w") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(k)
+    )
