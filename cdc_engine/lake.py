@@ -568,6 +568,28 @@ class SnapLake:
         user_cols = [f.name for f in T.StructType.fromJson(man["schema"]).fields]
         return df.where(~F.col(INTERNAL_DELETED)).select(*user_cols)
 
+    def lookup(
+        self, spark: SparkSession, urls: list[str], version: int | None = None
+    ) -> DataFrame:
+        """Point read: current live rows for the given urls, touching ONLY
+        the buckets those urls hash into — at 100 TB a k-url lookup reads
+        <= k buckets' files (min(k, n_buckets)/n_buckets of the table),
+        never scans. The url set is broadcast into a semi join; MoR
+        collapse and tombstone filtering apply as in ``scan``."""
+        man = self.manifest(version)
+        n_buckets = man["n_buckets"]
+        keys = spark.createDataFrame([(u,) for u in urls], "url string")
+        buckets = {
+            r["_b"]
+            for r in keys.select(bucket_expr("url", n_buckets).alias("_b"))
+            .distinct()
+            .collect()
+        }
+        df = self.scan_internal(spark, version, buckets=buckets)
+        df = df.where(~F.col(INTERNAL_DELETED))
+        user_cols = [f.name for f in T.StructType.fromJson(man["schema"]).fields]
+        return df.join(F.broadcast(keys), "url", "left_semi").select(*user_cols)
+
     def touched_buckets_between(self, v_old: int, v_new: int) -> set[int] | None:
         """Buckets whose covering file set differs between two manifests —
         pure metadata (group refs compared before any side-file resolve;

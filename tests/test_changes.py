@@ -89,3 +89,23 @@ def test_changes_empty_for_compaction_only_commit(spark, tmp_path):
     v_after = lake.head_version()
     assert v_after == v_before + 1
     assert lake.changes(spark, v_before, v_after).count() == 0
+
+
+def test_point_lookup_is_bucket_bounded_and_lww_correct(spark, tmp_path):
+    lake = SnapLake.create(str(tmp_path / "lk"), PAGES_SCHEMA_V1, n_buckets=32, mode="mor")
+    lake.merge(spark, _batch(spark, [
+        (i, "upsert", f"u/{i}", "en", f"t{i}") for i in range(64)
+    ]), epoch_id=0)
+    lake.merge(spark, _batch(spark, [
+        (100, "upsert", "u/5", "fi", "updated"),
+        (101, "delete", "u/6", None, None),
+    ]), epoch_id=1)
+
+    got = {r["url"]: r for r in lake.lookup(spark, ["u/5", "u/6", "u/7", "u/none"]).collect()}
+    assert set(got) == {"u/5", "u/7"}          # delete and miss excluded
+    assert got["u/5"]["text"] == "updated"      # MoR collapse picked the delta
+    assert got["u/7"]["text"] == "t7"
+
+    # time travel: before epoch 1 the old value and the deleted row are back
+    old = {r["url"]: r for r in lake.lookup(spark, ["u/5", "u/6"], version=1).collect()}
+    assert old["u/5"]["text"] == "t5" and old["u/6"]["text"] == "t6"
