@@ -1164,6 +1164,22 @@ def q_line_dedup(spark, sf):
     return line_dedup(lined, min_df=3).transform(_p, "doc_id")
 
 
+def q_pagerank_domains(spark, sf):
+    """2-round integer PageRank (graphops.pagerank) over a 40-node link
+    graph derived deterministically from events (src = user_id%40,
+    dst = (user_id*7 + event_id)%40, self-loops dropped, edges distinct).
+    Floor integer divisions everywhere => bit-identical to the oracle's
+    statically unrolled rounds."""
+    from cdc_engine.graphops import pagerank
+
+    ev = t(spark, sf, "events")
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 40).alias("dst"),
+    )
+    return pagerank(edges, iterations=2).transform(_p, "node")
+
+
 def q_bpe_pair_topk(spark, sf):
     """Top-30 BPE merge candidates over documents (textops.bpe_pair_topk):
     corpus -> word-frequency relation -> weighted adjacent-char-pair
@@ -1910,6 +1926,28 @@ ORACLE_SQL: dict[str, str] = {
         WHERE sf_tag = {_SF_TAG_SQL}
         ORDER BY url
     """,
+    # 2 statically-unrolled integer power-iteration rounds; // is DuckDB
+    # floor integer division = Spark DIV on these non-negative operands
+    "pagerank_domains": """
+        WITH e AS (
+            SELECT DISTINCT user_id % 40 AS src, (user_id * 7 + event_id) % 40 AS dst
+            FROM events WHERE user_id % 40 <> (user_id * 7 + event_id) % 40
+        ),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000 AS BIGINT) AS r FROM n),
+        c1 AS (SELECT e.dst AS node, SUM(r0.r // deg.deg) AS s
+               FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        r1 AS (SELECT n.node, CAST(150 + (850 * COALESCE(c1.s, 0)) // 1000 AS BIGINT) AS r
+               FROM n LEFT JOIN c1 ON n.node = c1.node),
+        c2 AS (SELECT e.dst AS node, SUM(r1.r // deg.deg) AS s
+               FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        r2 AS (SELECT n.node, CAST(150 + (850 * COALESCE(c2.s, 0)) // 1000 AS BIGINT) AS r
+               FROM n LEFT JOIN c2 ON n.node = c2.node)
+        SELECT node, r AS rank_milli FROM r2 ORDER BY node
+    """,
     # word-frequency compression then weighted in-word pair enumeration,
     # mirroring textops.bpe_pair_topk; range(1, len) is end-exclusive =
     # Spark's sequence(1, len-1)
@@ -2376,6 +2414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "changes_feed": q_changes_feed,
     "bpe_pair_topk": q_bpe_pair_topk,
+    "pagerank_domains": q_pagerank_domains,
     "tfidf_topk": q_tfidf_topk,  # new in r5, must get its first row this round
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
