@@ -109,3 +109,16 @@ def test_point_lookup_is_bucket_bounded_and_lww_correct(spark, tmp_path):
     # time travel: before epoch 1 the old value and the deleted row are back
     old = {r["url"]: r for r in lake.lookup(spark, ["u/5", "u/6"], version=1).collect()}
     assert old["u/5"]["text"] == "t5" and old["u/6"]["text"] == "t6"
+
+
+def test_changes_from_genesis_is_all_inserts(spark, tmp_path):
+    lake = SnapLake.create(str(tmp_path / "g"), PAGES_SCHEMA_V1, n_buckets=4)
+    lake.merge(spark, _batch(spark, [
+        (1, "upsert", "u/a", "en", "x"),
+        (2, "delete", "u/gone", None, None),  # delete of a never-seen url
+        (3, "upsert", "u/b", "fi", "y"),
+    ]), epoch_id=0)
+    feed = {r["url"]: r for r in lake.changes(spark, 0).collect()}
+    assert set(feed) == {"u/a", "u/b"}  # the no-op tombstone emits nothing
+    assert all(r["change_type"] == "insert" for r in feed.values())
+    assert all(r["seq_before"] is None for r in feed.values())
