@@ -197,13 +197,25 @@ class SnapLake:
     # ------------------------------------------------------------- create
     @staticmethod
     def create(
-        path: str, schema: T.StructType, n_buckets: int = 16, mode: str = "cow"
+        path: str,
+        schema: T.StructType,
+        n_buckets: int = 16,
+        mode: str = "cow",
+        key_blooms: bool = False,
     ) -> "SnapLake":
         """``mode``: 'cow' (copy-on-write — MERGE rewrites touched buckets;
         cheap scans, read-heavy workloads) or 'mor' (merge-on-read — MERGE
         appends LWW-ready delta files with NO target read/join; scans
         collapse base+delta per url; compaction folds deltas back into base.
-        The ingest-throughput mode, Iceberg write.merge.mode analog)."""
+        The ingest-throughput mode, Iceberg write.merge.mode analog).
+
+        ``key_blooms``: table property — every written file gets a per-file
+        url bloom in its manifest entry so ``lookup`` prunes to the files
+        that may hold each key (point reads go bucket-granular ->
+        file-granular). Off by default: building blooms reads the url
+        column of every written file, a write-path cost read-heavy tables
+        buy deliberately (Iceberg write.parquet.bloom-filter-enabled
+        analog, lifted to the manifest so pruning needs no file opens)."""
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown table mode: {mode}")
         lake = SnapLake(path)
@@ -215,6 +227,7 @@ class SnapLake:
             "schema": schema.jsonValue(),
             "n_buckets": n_buckets,
             "mode": mode,
+            "key_blooms": key_blooms,
             # sharded file list: groups map str(bucket % n_groups) -> side-
             # file ref; absent key == empty group (genesis writes no files)
             "file_groups": {"n_groups": min(FILE_GROUPS_MAX, n_buckets), "groups": {}},
@@ -574,8 +587,13 @@ class SnapLake:
         """Point read: current live rows for the given urls, touching ONLY
         the buckets those urls hash into — at 100 TB a k-url lookup reads
         <= k buckets' files (min(k, n_buckets)/n_buckets of the table),
-        never scans. The url set is broadcast into a semi join; MoR
-        collapse and tombstone filtering apply as in ``scan``."""
+        never scans. On a ``key_blooms=True`` table the read narrows
+        further to the FILES whose bloom may hold a key — and unlike
+        time-range pruning (scan's LWW caveat) bloom pruning is LWW-safe
+        even with MoR deltas present: a file that provably does not
+        contain url u cannot change u's collapse winner. The url set is
+        broadcast into a semi join; MoR collapse and tombstone filtering
+        apply as in ``scan``."""
         man = self.manifest(version)
         n_buckets = man["n_buckets"]
         keys = spark.createDataFrame([(u,) for u in urls], "url string")
@@ -585,7 +603,9 @@ class SnapLake:
             .distinct()
             .collect()
         }
-        df = self.scan_internal(spark, version, buckets=buckets)
+        files = self._files(man, buckets)
+        files = _kbloom_prune(files, urls)
+        df = self.scan_internal(spark, version, files=files)
         df = df.where(~F.col(INTERNAL_DELETED))
         user_cols = [f.name for f in T.StructType.fromJson(man["schema"]).fields]
         return df.join(F.broadcast(keys), "url", "left_semi").select(*user_cols)
@@ -1023,7 +1043,9 @@ class SnapLake:
             )
 
         with phase("footer_stats"):
-            new_files = _walk_bucket_files(self.path, out_rel)
+            new_files = _walk_bucket_files(
+                self.path, out_rel, man.get("key_blooms", False)
+            )
         if ft < n_buckets:
             for f in new_files:
                 f["bmod"] = ft  # class file: covers residue f["bucket"] mod ft
@@ -1287,6 +1309,7 @@ class SnapLake:
                 "schema": new_schema.jsonValue(),
                 "n_buckets": n_buckets,
                 "mode": mode,
+                "key_blooms": man.get("key_blooms", False),
                 "file_groups": file_groups,
                 "parent": man["version"],
                 "summary": {
@@ -1439,7 +1462,7 @@ class SnapLake:
             .partitionBy("_bucket")
             .parquet(out_abs)
         )
-        new_files = _walk_bucket_files(self.path, out_rel)
+        new_files = _walk_bucket_files(self.path, out_rel, man.get("key_blooms", False))
         if ft < nb:
             for f in new_files:
                 f["bmod"] = ft
@@ -1623,11 +1646,88 @@ def _stable_hash(s: str) -> str:
     return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
-def _footer_stats(root: str, ap: str, bucket: int) -> dict:
+# ---- per-file key bloom filters (opt-in, SnapLake.create(key_blooms=True))
+# 10 bits/key + k=7 double hashing ~= 0.8% fpp; m capped so one entry's
+# metadata stays bounded (fpp degrades gracefully past the cap, never
+# incorrect). Stored zlib+base64 in the file entry, which lives in the
+# commit's SIDE BUNDLE — the root manifest stays O(1) bytes (Iceberg
+# analog: puffin blob referenced from the manifest entry).
+_KBLOOM_BITS_PER_KEY = 10
+_KBLOOM_K = 7
+_KBLOOM_MAX_BITS = 1 << 21  # 256 KiB of bits per file
+
+
+def _kbloom_hashes(url: str, m: int) -> list[int]:
+    import hashlib as _hl
+
+    d = _hl.md5(url.encode()).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(_KBLOOM_K)]
+
+
+def _kbloom_build(urls) -> dict | None:
+    """Bloom dict for a file's url column (any iterable of str)."""
+    import base64
+    import zlib
+
+    urls = list(urls)
+    if not urls:
+        return None
+    m = max(64, min(_KBLOOM_MAX_BITS, _KBLOOM_BITS_PER_KEY * len(urls)))
+    bits = bytearray((m + 7) // 8)
+    for u in urls:
+        for g in _kbloom_hashes(u, m):
+            bits[g >> 3] |= 1 << (g & 7)
+    return {
+        "m": m,
+        "k": _KBLOOM_K,
+        "bits": base64.b64encode(zlib.compress(bytes(bits), 6)).decode(),
+    }
+
+
+def _kbloom_may_contain(entry: dict, url: str, _cache: dict | None = None) -> bool:
+    """True unless the entry's bloom PROVES url absent. Entries without a
+    bloom (legacy files, blooms disabled) are never pruned. ``_cache``
+    (entry-path -> decoded bitset) amortizes the zlib decode across the
+    urls of one lookup."""
+    kb = entry.get("kbloom")
+    if not kb:
+        return True
+    key = entry["path"]
+    if _cache is not None and key in _cache:
+        bits = _cache[key]
+    else:
+        import base64
+        import zlib
+
+        bits = zlib.decompress(base64.b64decode(kb["bits"]))
+        if _cache is not None:
+            _cache[key] = bits
+    m = kb["m"]
+    return all(bits[g >> 3] & (1 << (g & 7)) for g in _kbloom_hashes(url, m))
+
+
+def _kbloom_prune(files: list[dict], urls: list[str]) -> list[dict]:
+    """Keep the files whose bloom may contain ANY of the urls (files
+    without a bloom always kept). Pure metadata — no file opens."""
+    cache: dict = {}
+    return [
+        f for f in files if any(_kbloom_may_contain(f, u, cache) for u in urls)
+    ]
+
+
+def _footer_stats(root: str, ap: str, bucket: int, with_bloom: bool = False) -> dict:
     """One file's manifest entry: rows/bytes + warc_ts min/max from parquet
     footer statistics, so time-bounded scans prune whole files without
     opening them — the manifest-level analog of Iceberg's days(warc_ts)
-    partition pruning, composable with the url-hash bucket pruning."""
+    partition pruning, composable with the url-hash bucket pruning.
+    ``with_bloom`` additionally reads the url COLUMN (one columnar IO on a
+    file this writer just produced, same GIL-released thread pool) and
+    attaches a key bloom so point lookups prune to the files that may
+    actually hold a key. On a real cluster this build would ride the write
+    job executor-side; driver-threadpool matches the footer-harvest
+    pattern and is opt-in so the benched ingest path is unchanged."""
     md = pq.ParquetFile(ap).metadata
     ts_lo = ts_hi = None
     try:
@@ -1642,7 +1742,7 @@ def _footer_stats(root: str, ap: str, bucket: int) -> dict:
             ts_hi = hi if ts_hi is None else max(ts_hi, hi)
     except ValueError:
         pass
-    return {
+    out = {
         "path": os.path.relpath(ap, root),
         "bucket": bucket,
         "rows": md.num_rows,
@@ -1650,9 +1750,15 @@ def _footer_stats(root: str, ap: str, bucket: int) -> dict:
         "ts_min": None if ts_lo is None else ts_lo.isoformat(),
         "ts_max": None if ts_hi is None else ts_hi.isoformat(),
     }
+    if with_bloom and md.num_rows and "url" in md.schema.names:
+        col = pq.read_table(ap, columns=["url"]).column("url")
+        kb = _kbloom_build(u.as_py() for u in col)
+        if kb is not None:
+            out["kbloom"] = kb
+    return out
 
 
-def _walk_bucket_files(root: str, rel_dir: str) -> list[dict]:
+def _walk_bucket_files(root: str, rel_dir: str, with_blooms: bool = False) -> list[dict]:
     """Collect parquet files written under data/<commit>/_bucket=K/.
 
     Footer harvesting is a thread pool, not a serial loop: pyarrow releases
@@ -1673,10 +1779,10 @@ def _walk_bucket_files(root: str, rel_dir: str) -> list[dict]:
             if n.endswith(".parquet")
         )
     if len(targets) <= 4:
-        out = [_footer_stats(root, ap, b) for ap, b in targets]
+        out = [_footer_stats(root, ap, b, with_blooms) for ap, b in targets]
     else:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(16, len(targets))) as ex:
-            out = list(ex.map(lambda t: _footer_stats(root, *t), targets))
+            out = list(ex.map(lambda t: _footer_stats(root, *t, with_blooms), targets))
     return sorted(out, key=lambda f: (f["bucket"], f["path"]))
