@@ -252,10 +252,127 @@ class SnapLake:
         with open(os.path.join(self.meta_dir, "HEAD")) as f:
             return int(f.read().strip())
 
-    def manifest(self, version: int | None = None) -> dict[str, Any]:
-        v = self.head_version() if version is None else version
+    def manifest(self, version: int | str | None = None) -> dict[str, Any]:
+        """``version``: an int, None (head), or a TAG NAME — every
+        versioned read surface (scan/lookup/changes/schema) accepts tags
+        through here."""
+        v = self.head_version() if version is None else self._resolve_version(version)
         with open(self._manifest_path(v)) as f:
             return json.load(f)
+
+    # ------------------------------------------------------ tags / rollback
+    def _tags_path(self) -> str:
+        return os.path.join(self.meta_dir, "tags.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tag analog): name -> version.
+        Tagged versions are protected from ``expire_snapshots`` and block
+        ``rollback`` past them."""
+        if not os.path.isfile(self._tags_path()):
+            return {}
+        with open(self._tags_path()) as f:
+            return json.load(f)
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        tmp = f"{self._tags_path()}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._tags_path())
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to ``version`` (default head). O(1) metadata."""
+        v = self.head_version() if version is None else int(version)
+        if not os.path.isfile(self._manifest_path(v)):
+            raise FileNotFoundError(f"cannot tag missing snapshot v{v}")
+        tags = self.tags()
+        tags[name] = v
+        self._write_tags(tags)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        self._write_tags(tags)
+
+    def _resolve_version(self, version: int | str) -> int:
+        if isinstance(version, str):
+            tags = self.tags()
+            if version not in tags:
+                raise KeyError(f"unknown snapshot tag: {version!r}")
+            return tags[version]
+        return int(version)
+
+    def rollback(self, to_version: int | str) -> dict[str, int]:
+        """Destructive snapshot rollback: HEAD returns to ``to_version``;
+        the abandoned commits' manifests and EXCLUSIVELY-referenced data /
+        side files are deleted. The ledger rolls back with the manifest,
+        so a subsequent replay re-applies exactly the epochs committed
+        after the target — the CDC undo story (bad epochs re-ingested
+        cleanly, deterministic commit dirs left no debris). O(data files
+        of the abandoned commits), zero Spark jobs. Refuses to cross a
+        tag (drop the tag first); single-writer assumption as in merge.
+
+        Invalidate the side-bundle LRU: that cache is sound because side
+        files are immutable, and rollback is the ONE operation that breaks
+        the contract — a re-applied epoch reuses its deterministic bundle
+        path with new content, so a stale cached copy would resurrect the
+        deleted commit's file list. The clear happens LAST — rollback's own
+        referenced_paths walk re-populates the cache with the abandoned
+        bundles it is about to delete."""
+        tv = self._resolve_version(to_version)
+        head = self.head_version()
+        if tv > head:
+            raise ValueError(f"rollback target v{tv} is ahead of head v{head}")
+        if not os.path.isfile(self._manifest_path(tv)):
+            raise FileNotFoundError(f"rollback target v{tv} expired")
+        blocking = {n: v for n, v in self.tags().items() if v > tv}
+        if blocking:
+            raise ValueError(
+                f"rollback to v{tv} would delete tagged snapshots {blocking}; "
+                "drop those tags first"
+            )
+        if tv == head:
+            return {"version": tv, "removed_manifests": 0, "removed_files": 0}
+        keep: set[str] = set()
+        for v in range(tv + 1):
+            if os.path.isfile(self._manifest_path(v)):
+                keep |= self.referenced_paths(v)
+        drop: set[str] = set()
+        for v in range(tv + 1, head + 1):
+            if os.path.isfile(self._manifest_path(v)):
+                drop |= self.referenced_paths(v)
+        # atomic HEAD swap FIRST: a crash mid-cleanup leaves only orphans
+        # (re-removed by the next rollback/expire vacuum), never a HEAD
+        # pointing at deleted metadata
+        tmp = os.path.join(self.meta_dir, f".HEAD.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            f.write(str(tv))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.meta_dir, "HEAD"))
+        removed_files = 0
+        for rel in sorted(drop - keep):
+            ap = os.path.join(self.path, rel)
+            if os.path.isfile(ap):
+                os.remove(ap)
+                removed_files += 1
+        removed_man = 0
+        for v in range(tv + 1, head + 1):
+            mp = self._manifest_path(v)
+            if os.path.isfile(mp):
+                os.remove(mp)
+                removed_man += 1
+        for dirpath, dirs, names in os.walk(self.data_dir, topdown=False):
+            if not dirs and not names and dirpath != self.data_dir:
+                os.rmdir(dirpath)
+        _load_side_json_cached.cache_clear()
+        return {
+            "version": tv,
+            "removed_manifests": removed_man,
+            "removed_files": removed_files,
+        }
 
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
         """Immutable manifest file + atomic HEAD swap (S5).
@@ -1535,16 +1652,25 @@ class SnapLake:
         manifest's ledger (inline window + spilled segment chain) is always
         retained, so ``ledger_entry`` still recognizes every committed epoch
         after expiry. Time travel to an expired version raises
-        FileNotFoundError. Single-writer assumption (same as merge)."""
+        FileNotFoundError. TAGGED versions are retained regardless of age
+        (tags are the retention pins). Single-writer assumption (same as
+        merge)."""
         head = self.head_version()
         lo = max(0, head - keep_last + 1)
-        retained = [v for v in range(lo, head + 1) if os.path.isfile(self._manifest_path(v))]
+        tagged = set(self.tags().values())
+        retained = [
+            v
+            for v in range(head + 1)
+            if (v >= lo or v in tagged) and os.path.isfile(self._manifest_path(v))
+        ]
         refs: set[str] = set()
         for v in retained:
             refs.update(self.referenced_paths(v))
 
         expired = 0
         for v in range(lo):
+            if v in tagged:
+                continue
             mp = self._manifest_path(v)
             if os.path.isfile(mp):
                 os.remove(mp)

@@ -100,6 +100,23 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("status")
     common(p)
 
+    # destructive snapshot rollback (metadata-only; the ledger rolls back
+    # too, so replaying the same WAL re-applies the undone epochs)
+    p = sub.add_parser("rollback")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--to-version", required=True,
+                   help="version number or tag name to return HEAD to")
+    p.add_argument("--master", default=None)
+
+    # named snapshot refs: pin (default), list, or drop
+    p = sub.add_parser("tag")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--name", default=None,
+                   help="tag to create/drop; omit to list tags")
+    p.add_argument("--version", type=int, default=None, help="default: head")
+    p.add_argument("--drop", action="store_true")
+    p.add_argument("--master", default=None)
+
     # change data feed between two snapshots (CDC out, Delta CDF analog)
     p = sub.add_parser("changes")
     p.add_argument("--lake", required=True)
@@ -146,7 +163,7 @@ def main(argv: list[str] | None = None) -> None:
 
     args = ap.parse_args(argv)
     spark = build_session(f"cdc_engine-{args.cmd}", master=args.master)
-    if args.cmd not in ("neardup", "changes", "mview"):
+    if args.cmd not in ("neardup", "changes", "mview", "rollback", "tag"):
         cfg = CdcConfig(
             events_per_epoch=args.events_per_epoch,
             n_buckets=args.n_buckets,
@@ -252,6 +269,24 @@ def main(argv: list[str] | None = None) -> None:
             "dropped": n_docs - n_out,
             "clusters": comps.select("component").distinct().count(),
         }))
+    elif args.cmd == "rollback":
+        lake = SnapLake(args.lake)
+        try:
+            target: int | str = int(args.to_version)
+        except ValueError:
+            target = args.to_version  # tag name
+        r = lake.rollback(target)
+        print(json.dumps(r))
+    elif args.cmd == "tag":
+        lake = SnapLake(args.lake)
+        if args.name is None:
+            print(json.dumps(lake.tags()))
+        elif args.drop:
+            lake.drop_tag(args.name)
+            print(json.dumps({"dropped": args.name, "tags": lake.tags()}))
+        else:
+            v = lake.tag(args.name, args.version)
+            print(json.dumps({"tag": args.name, "version": v}))
     elif args.cmd == "status":
         lake = SnapLake(args.lake)
         man = lake.manifest()

@@ -1,0 +1,123 @@
+"""Snapshot rollback + tags: the undo half of the snapshot lifecycle.
+
+rollback() is destructive metadata surgery — HEAD returns to the target,
+abandoned manifests and exclusively-referenced files are deleted, and the
+LEDGER rolls back with the manifest so re-applying the same epochs
+reproduces the original state bit-for-bit (deterministic commit dirs
+leave no debris). Tags pin snapshots against expiry and block rollback
+across them.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from cdc_engine.lake import SnapLake
+from cdc_engine.schemas import PAGES_SCHEMA_V1, WAL_SCHEMA_V1
+
+TS = dt.datetime(2025, 1, 1)
+
+
+def _batch(spark, rows):
+    data = [
+        (seq, op, url, TS + dt.timedelta(seconds=seq), None, text, lang, 0)
+        for (seq, op, url, lang, text) in rows
+    ]
+    return spark.createDataFrame(data, WAL_SCHEMA_V1)
+
+
+def _epochs():
+    return [
+        [(10 * e + i, "upsert", f"u/{i}", "en", f"t{e}.{i}") for i in range(6)]
+        + ([(10 * e + 9, "delete", f"u/{e}", None, None)] if e else [])
+        for e in range(5)
+    ]
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_rollback_then_reapply_reproduces_state(spark, tmp_path, mode):
+    lake = SnapLake.create(str(tmp_path / mode), PAGES_SCHEMA_V1, n_buckets=4, mode=mode)
+    eps = _epochs()
+    for e, rows in enumerate(eps):
+        lake.merge(spark, _batch(spark, rows), epoch_id=e)
+    head = lake.head_version()
+    n0, h0 = lake.state_hash(spark)
+    v2_rows = {r["url"]: r["text"] for r in lake.scan(spark, version=2).collect()}
+
+    r = lake.rollback(2)
+    assert r["version"] == 2 and r["removed_manifests"] == head - 2
+    assert lake.head_version() == 2
+    # state IS v2's state
+    assert {r_["url"]: r_["text"] for r_ in lake.scan(spark).collect()} == v2_rows
+    # ledger rolled back: epochs 2.. are unknown again
+    assert set(lake.committed_epochs()) == {0, 1}
+    # time travel to an abandoned version is gone
+    with pytest.raises(FileNotFoundError):
+        lake.manifest(head)
+
+    # re-apply the SAME epochs (what replay would do): identical final state
+    for e in (2, 3, 4):
+        assert lake.merge(spark, _batch(spark, eps[e]), epoch_id=e) is not None
+    n1, h1 = lake.state_hash(spark)
+    assert (n1, h1) == (n0, h0)
+
+
+def test_rollback_removes_only_abandoned_files(spark, tmp_path):
+    lake = SnapLake.create(str(tmp_path / "l"), PAGES_SCHEMA_V1, n_buckets=4, mode="mor")
+    for e, rows in enumerate(_epochs()[:4]):
+        lake.merge(spark, _batch(spark, rows), epoch_id=e)
+    kept_refs = {
+        p for v in (1, 2) for p in lake.referenced_paths(v)
+    }
+    gone_refs = lake.referenced_paths(4) - kept_refs
+    assert gone_refs  # the later deltas really are new files
+    lake.rollback(2)
+    for rel in kept_refs:
+        assert os.path.isfile(os.path.join(lake.path, rel)), rel
+    for rel in gone_refs:
+        assert not os.path.exists(os.path.join(lake.path, rel)), rel
+    # earlier snapshots still readable after the surgery
+    assert lake.scan(spark, version=1).count() == 6
+
+
+def test_tags_pin_time_travel_expiry_and_block_rollback(spark, tmp_path):
+    lake = SnapLake.create(str(tmp_path / "t"), PAGES_SCHEMA_V1, n_buckets=4)
+    for e, rows in enumerate(_epochs()):
+        lake.merge(spark, _batch(spark, rows), epoch_id=e)
+    assert lake.tag("golden") == 5  # default: head
+    lake.tag("baseline", 1)
+    assert lake.tags() == {"golden": 5, "baseline": 1}
+
+    # tag name works on every versioned read surface (via manifest())
+    base_by_tag = {r["url"]: r["text"] for r in lake.scan(spark, version="baseline").collect()}
+    base_by_ver = {r["url"]: r["text"] for r in lake.scan(spark, version=1).collect()}
+    assert base_by_tag == base_by_ver
+    assert lake.lookup(spark, ["u/0"], version="baseline").count() == 1
+
+    # expiry retains tagged versions regardless of age
+    r = lake.expire_snapshots(keep_last=1)
+    assert os.path.isfile(lake._manifest_path(1))  # tagged: survives
+    assert not os.path.isfile(lake._manifest_path(2))  # untagged old: gone
+    assert r["retained_versions"] == 2  # head (== golden) + tagged baseline
+    assert lake.scan(spark, version="baseline").count() == 6  # still readable
+
+    # tagging an expired snapshot refuses; rollback to one refuses too
+    with pytest.raises(FileNotFoundError):
+        lake.tag("pin", 3)
+    with pytest.raises(FileNotFoundError):
+        lake.rollback(3)
+
+    # rollback refuses to cross a tag; allowed after dropping it
+    with pytest.raises(ValueError, match="golden"):
+        lake.rollback("baseline")
+    lake.drop_tag("golden")
+    lake.rollback("baseline")  # rollback by tag name
+    assert lake.head_version() == 1
+    assert set(lake.committed_epochs()) == {0}
+
+    # unknown tag raises
+    with pytest.raises(KeyError):
+        lake.scan(spark, version="nope")
