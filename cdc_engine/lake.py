@@ -374,6 +374,151 @@ class SnapLake:
             "removed_files": removed_files,
         }
 
+    def fsck(self, deep: bool = False) -> dict[str, Any]:
+        """Metadata integrity audit over the retained snapshot chain —
+        the operational check a 100 TB table runs after an incident
+        (crash mid-expire, storage losing files, manual surgery). Pure
+        driver-side metadata + stat calls, zero Spark jobs; ``deep``
+        additionally opens every live parquet footer (row counts vs
+        manifest, bloom decodability) — still O(files), no data read.
+
+        errors (ok=False): broken manifest chain, unresolvable side
+        refs, missing/size-mismatched referenced files, non-dense
+        ledger, dangling tags. warnings (ok stays True): orphan data
+        files awaiting vacuum."""
+        report: dict[str, Any] = {
+            "ok": True,
+            "errors": [],
+            "warnings": [],
+            "versions_checked": 0,
+            "files_checked": 0,
+            "orphan_data_files": 0,
+        }
+
+        def err(msg: str) -> None:
+            report["errors"].append(msg)
+            report["ok"] = False
+
+        head = self.head_version()
+        if not os.path.isfile(self._manifest_path(head)):
+            err(f"HEAD points at missing manifest v{head}")
+            return report
+        tagged = set(self.tags().values())
+        existing: list[int] = []
+        for n in os.listdir(self.meta_dir):
+            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit():
+                existing.append(int(n[1:-5]))
+        existing.sort()
+        # HEAD's ancestry must be a contiguous suffix down to the expiry
+        # horizon; versions surviving below a hole are fine ONLY as tag
+        # pins (expire keeps them) — anything else is stranded metadata
+        suffix_lo = head
+        while suffix_lo - 1 in set(existing):
+            suffix_lo -= 1
+        versions = [v for v in existing if v <= head]
+        for v in versions:
+            if v < suffix_lo and v not in tagged and v > 0:
+                report["warnings"].append(
+                    f"stranded manifest v{v} below the retention horizon "
+                    "(untagged and unreachable from HEAD's contiguous chain)"
+                )
+        for v in existing:
+            if v > head:
+                report["warnings"].append(
+                    f"manifest v{v} ahead of HEAD (crash between manifest "
+                    "write and HEAD swap; harmless commit debris)"
+                )
+        for v in versions:
+            try:
+                man = self.manifest(v)
+            except (json.JSONDecodeError, OSError) as ex:
+                err(f"v{v}: unreadable manifest: {ex}")
+                continue
+            if man["version"] != v:
+                err(f"v{v}: manifest declares version {man['version']}")
+            if v > suffix_lo and man["parent"] != v - 1 and v in range(suffix_lo, head + 1):
+                err(f"v{v}: parent is {man['parent']}, expected {v - 1}")
+        versions = [
+            v for v in versions if os.path.isfile(self._manifest_path(v))
+        ]
+        report["versions_checked"] = len(versions)
+
+        seen_files: set[str] = set()
+        all_refs: set[str] = set()
+        # head-first: a file carried through many manifests (MoR deltas) is
+        # audited against its NEWEST entry — the one current reads resolve
+        for v in sorted(versions, reverse=True):
+            try:
+                man = self.manifest(v)
+                refs = self.referenced_paths(v)
+            except (FileNotFoundError, KeyError, json.JSONDecodeError) as ex:
+                err(f"v{v}: unresolvable side refs: {ex!r}")
+                continue
+            all_refs |= refs
+            for rel in refs:
+                if rel.startswith("metadata/") and not os.path.isfile(
+                    os.path.join(self.path, rel)
+                ):
+                    err(f"v{v}: missing metadata side file {rel}")
+            for f in self._files(man):
+                rel = f["path"]
+                if rel in seen_files:
+                    continue
+                seen_files.add(rel)
+                report["files_checked"] += 1
+                ap = os.path.join(self.path, rel)
+                if not os.path.isfile(ap):
+                    err(f"v{v}: missing data file {rel}")
+                    continue
+                if f.get("bytes") is not None and os.path.getsize(ap) != f["bytes"]:
+                    err(
+                        f"v{v}: size mismatch {rel}: disk "
+                        f"{os.path.getsize(ap)} != manifest {f['bytes']}"
+                    )
+                elif deep:
+                    try:
+                        nrows = pq.ParquetFile(ap).metadata.num_rows
+                    except Exception as ex:  # corrupt footer
+                        err(f"v{v}: unreadable parquet footer {rel}: {ex}")
+                        continue
+                    if f.get("rows") is not None and nrows != f["rows"]:
+                        err(
+                            f"v{v}: row-count mismatch {rel}: footer "
+                            f"{nrows} != manifest {f['rows']}"
+                        )
+                    if f.get("kbloom"):
+                        try:
+                            _kbloom_may_contain(f, "\x00fsck-probe")
+                        except Exception as ex:
+                            err(f"v{v}: undecodable key bloom on {rel}: {ex}")
+
+        try:
+            eps = sorted(self.committed_epochs())
+            if eps and eps != list(range(eps[0], eps[-1] + 1)):
+                gaps = sorted(set(range(eps[0], eps[-1] + 1)) - set(eps))
+                err(f"ledger not dense: missing epochs {gaps[:10]}")
+        except (FileNotFoundError, KeyError, json.JSONDecodeError) as ex:
+            err(f"ledger chain unresolvable: {ex!r}")
+
+        for name, tv in self.tags().items():
+            if not os.path.isfile(self._manifest_path(tv)):
+                err(f"tag {name!r} -> missing snapshot v{tv}")
+
+        on_disk = {
+            os.path.relpath(os.path.join(dp, n), self.path)
+            for dp, _dirs, ns in os.walk(self.data_dir)
+            for n in ns
+            if n.endswith(".parquet")
+        }
+        orphans = on_disk - all_refs
+        report["orphan_data_files"] = len(orphans)
+        if orphans:
+            report["warnings"].append(
+                f"{len(orphans)} orphan data files (unreferenced by any "
+                "retained manifest; expire_snapshots vacuum reclaims them)"
+            )
+        return report
+
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
         """Immutable manifest file + atomic HEAD swap (S5).
 

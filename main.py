@@ -108,6 +108,14 @@ def main(argv: list[str] | None = None) -> None:
                    help="version number or tag name to return HEAD to")
     p.add_argument("--master", default=None)
 
+    # metadata integrity audit (exit 1 on errors)
+    p = sub.add_parser("fsck")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--deep", action="store_true",
+                   help="also open every live parquet footer (row counts "
+                   "vs manifest, bloom decodability)")
+    p.add_argument("--master", default=None)
+
     # named snapshot refs: pin (default), list, or drop
     p = sub.add_parser("tag")
     p.add_argument("--lake", required=True)
@@ -163,7 +171,7 @@ def main(argv: list[str] | None = None) -> None:
 
     args = ap.parse_args(argv)
     spark = build_session(f"cdc_engine-{args.cmd}", master=args.master)
-    if args.cmd not in ("neardup", "changes", "mview", "rollback", "tag"):
+    if args.cmd not in ("neardup", "changes", "mview", "rollback", "tag", "fsck"):
         cfg = CdcConfig(
             events_per_epoch=args.events_per_epoch,
             n_buckets=args.n_buckets,
@@ -277,6 +285,13 @@ def main(argv: list[str] | None = None) -> None:
             target = args.to_version  # tag name
         r = lake.rollback(target)
         print(json.dumps(r))
+    elif args.cmd == "fsck":
+        lake = SnapLake(args.lake)
+        r = lake.fsck(deep=args.deep)
+        print(json.dumps(r))
+        if not r["ok"]:
+            spark.stop()
+            raise SystemExit(1)
     elif args.cmd == "tag":
         lake = SnapLake(args.lake)
         if args.name is None:
