@@ -51,7 +51,8 @@ def _lake(args) -> SnapLake:
             )
         return lake
     return SnapLake.create(
-        args.lake, PAGES_SCHEMA_V1, n_buckets=args.n_buckets, mode=args.mode
+        args.lake, PAGES_SCHEMA_V1, n_buckets=args.n_buckets, mode=args.mode,
+        key_blooms=getattr(args, "key_blooms", False),
     )
 
 
@@ -71,6 +72,12 @@ def main(argv: list[str] | None = None) -> None:
             default=None,
             help="where rows with null url/warc_ts/seq are persisted "
             "(default: <lake>/quarantine; they are always counted in lineage)",
+        )
+        p.add_argument(
+            "--key-blooms", action="store_true",
+            help="create-time table property: attach a per-file url bloom "
+            "to every written file so `lookup` prunes file-granular "
+            "(write-path cost: one url-column read per written file)",
         )
 
     p = sub.add_parser("ingest")
@@ -106,6 +113,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--lake", required=True)
     p.add_argument("--to-version", required=True,
                    help="version number or tag name to return HEAD to")
+    p.add_argument("--master", default=None)
+
+    # point read: current rows for a set of keys (bucket- and, with
+    # key_blooms, file-pruned; version/tag time travel)
+    p = sub.add_parser("lookup")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--urls", required=True, help="comma-separated url keys")
+    p.add_argument("--version", default=None,
+                   help="version number or tag name (default: head)")
     p.add_argument("--master", default=None)
 
     # metadata integrity audit (exit 1 on errors)
@@ -171,7 +187,7 @@ def main(argv: list[str] | None = None) -> None:
 
     args = ap.parse_args(argv)
     spark = build_session(f"cdc_engine-{args.cmd}", master=args.master)
-    if args.cmd not in ("neardup", "changes", "mview", "rollback", "tag", "fsck"):
+    if args.cmd not in ("neardup", "changes", "mview", "rollback", "tag", "fsck", "lookup"):
         cfg = CdcConfig(
             events_per_epoch=args.events_per_epoch,
             n_buckets=args.n_buckets,
@@ -285,6 +301,20 @@ def main(argv: list[str] | None = None) -> None:
             target = args.to_version  # tag name
         r = lake.rollback(target)
         print(json.dumps(r))
+    elif args.cmd == "lookup":
+        lake = SnapLake(args.lake)
+        version: int | str | None = args.version
+        if version is not None:
+            try:
+                version = int(version)
+            except ValueError:
+                pass  # tag name
+        rows = lake.lookup(
+            spark, [u for u in args.urls.split(",") if u], version=version
+        ).collect()
+        for row in rows:
+            print(json.dumps(row.asDict(), default=str))
+        print(json.dumps({"found": len(rows)}))
     elif args.cmd == "fsck":
         lake = SnapLake(args.lake)
         r = lake.fsck(deep=args.deep)
