@@ -113,6 +113,7 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "mixture_weights",
         "stratified_topn",
         "line_dedup",
+        "dup_passage_scrub",
         "pii_scrub",
         "url_canonicalize",
     ]

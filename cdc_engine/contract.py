@@ -1164,6 +1164,19 @@ def q_line_dedup(spark, sf):
     return line_dedup(lined, min_df=3).transform(_p, "doc_id")
 
 
+def q_dup_passage_scrub(spark, sf):
+    """Exact-substring passage dedup at 8-token granularity
+    (dedup_text.dup_passage_stats — the Lee et al. ExactSubstr operation
+    in relational form): any token covered by a k-gram occurring more
+    than once corpus-wide is scrubbed; emits per-doc token/coverage
+    counts and the md5 of the rebuilt survivor text. Tokenization,
+    k-gram hashing, coverage mask, and rebuild are all in-row; the only
+    corpus-sized exchange carries 16-byte k-gram hashes."""
+    from cdc_engine.dedup_text import dup_passage_stats
+
+    return dup_passage_stats(t(spark, sf, "documents"), k=8).transform(_p, "doc_id")
+
+
 def q_pagerank_domains(spark, sf):
     """2-round integer PageRank (graphops.pagerank) over a 40-node link
     graph derived deterministically from events (src = user_id%40,
@@ -2098,6 +2111,45 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN reb ON t0.doc_id = reb.doc_id
         ORDER BY t0.doc_id
     """,
+    # exact-substring passage scrub: k=8 token grams, duplicated iff the
+    # gram occurs >1 times corpus-wide; COALESCE on the rebuilt string --
+    # DuckDB's array_to_string([]) is NULL where Spark's concat_ws is ''
+    "dup_passage_scrub": """
+        WITH toks AS (
+            SELECT doc_id,
+                   COALESCE(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                        x -> x <> ''), []) AS t
+            FROM documents
+        ), occ AS (
+            SELECT doc_id, t,
+                   UNNEST(CASE WHEN len(t) >= 8 THEN range(0, len(t)-8+1)
+                               ELSE [] END) AS start
+            FROM toks
+        ), g AS (
+            SELECT doc_id, start,
+                   md5(array_to_string(t[start+1 : start+8], chr(1))) AS h
+            FROM occ
+        ), dup AS (
+            SELECT h FROM g GROUP BY h HAVING count(*) > 1
+        ), ds AS (
+            SELECT doc_id, list(DISTINCT start) AS ds
+            FROM g WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+        ), m AS (
+            SELECT t.doc_id, t.t, COALESCE(d.ds, []) AS ds
+            FROM toks t LEFT JOIN ds d USING (doc_id)
+        ), km AS (
+            SELECT doc_id, t,
+                   list_filter(range(0, len(t)),
+                               p -> len(list_filter(ds, s -> s <= p AND p < s + 8)) = 0) AS kept
+            FROM m
+        )
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(t) - len(kept) AS BIGINT) AS dup_tokens,
+               md5(COALESCE(array_to_string(list_transform(kept, p -> t[p+1]), ' '),
+                            '')) AS scrub_hash
+        FROM km ORDER BY doc_id
+    """,
     # same oracle parquet as the flagship (identical WAL config => identical
     # final state); -1 is the projection's NULL sentinel for fetch_status,
     # unmapped before aggregating so COUNT/SUM see real NULLs
@@ -2410,6 +2462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- NEW this round: need their first driver row ----------------------
     "incremental_mv": q_incremental_mv,
     "line_dedup": q_line_dedup,
+    "dup_passage_scrub": q_dup_passage_scrub,
     "pii_scrub": q_pii_scrub,
     "url_canonicalize": q_url_canonicalize,
     "changes_feed": q_changes_feed,

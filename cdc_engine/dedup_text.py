@@ -512,3 +512,81 @@ def connected_components(
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     finally:
         ein.unpersist()
+
+
+def dup_passage_stats(docs: DataFrame, col: str = "text", k: int = 8) -> DataFrame:
+    """Exact-substring (passage-level) deduplication at k-token
+    granularity — the ExactSubstr operation of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    re-expressed relationally: a token span is duplicated text iff the
+    k-gram starting there occurs more than once in the whole corpus, and
+    every token covered by any duplicated k-gram is scrubbed. (The paper
+    builds a corpus-wide suffix array — inherently sequential; the
+    k-gram-anchored form is its relational equivalent at fixed minimum
+    match length k, and shuffles only hashes.)
+
+    Shape at 100 TB: tokenization and k-gram hashing are IN-ROW array
+    ops (no exchange carries text); the only corpus-sized shuffle is the
+    k-gram-hash frequency aggregate (map-side combinable, 16-byte keys),
+    then duplicated starts flow back keyed on doc_id and the coverage
+    mask + text rebuild are again in-row. Never pairwise, no windows.
+
+    Returns doc_id, n_tokens, dup_tokens (tokens covered by >=1
+    duplicated k-gram), scrub_hash (md5 of the text rebuilt from the
+    surviving tokens, space-joined — '' hashes when everything was
+    duplicated)."""
+    empty_i = F.array().cast("array<int>")
+    toks = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.filter(F.split(F.trim(F.col(col)), "\\s+"), lambda x: x != ""),
+            F.array().cast("array<string>"),
+        ).alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "t",
+        F.when(F.size("t") >= k, F.sequence(F.lit(0), F.size("t") - k))
+        .otherwise(empty_i)
+        .alias("starts"),
+    )
+    occ = grams.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                "starts",
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(
+                        F.concat_ws("\x01", F.slice(F.col("t"), i + 1, F.lit(k)))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.start").alias("start"), F.col("g.h").alias("h"))
+    dup = occ.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") > 1).select("h")
+    dstarts = (
+        occ.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("start").alias("ds"))
+    )
+    withds = toks.join(dstarts, "doc_id", "left").select(
+        "doc_id", "t", F.coalesce(F.col("ds"), empty_i).alias("ds")
+    )
+    positions = F.when(F.size("t") > 0, F.sequence(F.lit(0), F.size("t") - 1)).otherwise(
+        empty_i
+    )
+    kept = F.filter(
+        positions,
+        lambda p: ~F.exists(F.col("ds"), lambda s: (s <= p) & (p < s + k)),
+    )
+    return withds.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("long").alias("dup_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.transform(kept, lambda p: F.element_at(F.col("t"), p + 1))
+            )
+        ).alias("scrub_hash"),
+    )

@@ -78,6 +78,7 @@ def test_text_ops_have_no_python_nodes(spark):
         "line_dedup",
         "pii_scrub",
         "url_canonicalize",
+        "dup_passage_scrub",
     ):
         p = _plan(QUERIES[name](spark, SF), mode="simple")
         assert "EvalPython" not in p, f"{name} runs Python:\n{p}"
