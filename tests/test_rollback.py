@@ -121,3 +121,36 @@ def test_tags_pin_time_travel_expiry_and_block_rollback(spark, tmp_path):
     # unknown tag raises
     with pytest.raises(KeyError):
         lake.scan(spark, version="nope")
+
+
+def test_rollback_across_compaction_then_reapply(spark, tmp_path):
+    """MoR chain with a compaction commit in the middle: rollback to the
+    compaction snapshot (state-identical to its parent), then to a
+    pre-compaction epoch; re-applying the undone epochs reproduces the
+    original state bit-for-bit in both cases."""
+    lake = SnapLake.create(str(tmp_path / "m"), PAGES_SCHEMA_V1, n_buckets=4, mode="mor")
+    eps = _epochs()
+    for e in (0, 1, 2):
+        lake.merge(spark, _batch(spark, eps[e]), epoch_id=e)
+    lake.compact(spark, sorted(lake.bucket_file_counts()))  # version 4
+    v_compact = lake.head_version()
+    for e in (3, 4):
+        lake.merge(spark, _batch(spark, eps[e]), epoch_id=e)
+    n0, h0 = lake.state_hash(spark)
+
+    # rollback TO the compaction snapshot: epochs 3-4 undone, 0-2 kept
+    lake.rollback(v_compact)
+    assert set(lake.committed_epochs()) == {0, 1, 2}
+    for e in (3, 4):
+        assert lake.merge(spark, _batch(spark, eps[e]), epoch_id=e) is not None
+    assert lake.state_hash(spark) == (n0, h0)
+
+    # rollback PAST the compaction to a raw pre-compaction epoch commit
+    lake.rollback(2)
+    assert set(lake.committed_epochs()) == {0, 1}
+    for e in (2, 3, 4):
+        assert lake.merge(spark, _batch(spark, eps[e]), epoch_id=e) is not None
+    assert lake.state_hash(spark) == (n0, h0)
+    # and the audit stays clean after all the surgery
+    r = lake.fsck(deep=True)
+    assert r["ok"] and r["errors"] == [], r
