@@ -172,6 +172,16 @@ class IncrementalAggView:
         if missing:
             head_schema = self.lake.schema()  # head types are authoritative
             by_name = {f.name: f.dataType for f in head_schema.fields}
+            unknown = [c for c in missing if c not in by_name]
+            if unknown:
+                # not schema evolution: the column is absent from the head
+                # schema too (e.g. a rollback landed below the commit that
+                # added it) — same failure as SQL aggregating a column the
+                # table doesn't have
+                raise ValueError(
+                    f"view {self.name} references column(s) {unknown} not in "
+                    f"the lake schema at v{self.lake.head_version()}"
+                )
             for c in missing:
                 df = df.withColumn(c, F.lit(None).cast(by_name[c]))
         return df.select(*sorted(need))
@@ -198,7 +208,10 @@ class IncrementalAggView:
         if head == v0:
             return {"mode": "noop", "synced_version": v0, "mv_version": meta["mv_version"]}
         if head < v0:
-            raise ValueError(f"view synced to v{v0} but lake head is v{head}")
+            # the lake was rolled back below the synced snapshot — the
+            # incremental ledger of deltas is void; rebuild from the
+            # rolled-back state (same contract as an expired sync point)
+            return self.full_refresh(spark)
         try:
             man_old = self.lake.manifest(v0)
         except FileNotFoundError:

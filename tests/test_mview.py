@@ -211,3 +211,51 @@ def test_mview_full_fallback_after_expiry(spark, tmp_path):
     assert _rows(mv.df(spark)) == _rows(
         lake.scan(spark).groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def test_mview_full_rebuild_after_lake_rollback(spark, tmp_path):
+    """A rollback below the view's synced snapshot voids its delta
+    ledger: the next refresh must FULL-rebuild from the rolled-back
+    state, not raise and not serve stale numbers."""
+    lake = SnapLake.create(str(tmp_path / "rb"), PAGES_SCHEMA_V1, n_buckets=8)
+    mv = IncrementalAggView(lake, "by_lang", ["lang"], [AggSpec("n", "count")])
+    lake.merge(spark, _batch(spark, [
+        (1, "upsert", "u/a", "en", "x"),
+        (2, "upsert", "u/b", "fi", "y"),
+    ]), epoch_id=0)
+    lake.merge(spark, _batch(spark, [
+        (3, "upsert", "u/c", "en", "z"),
+    ]), epoch_id=1)
+    st = mv.incremental_refresh(spark)
+    assert st["synced_version"] == 2
+    lake.rollback(1)  # view now synced AHEAD of head
+    st = mv.incremental_refresh(spark)
+    assert st["mode"] == "full" and st["synced_version"] == 1
+    got = {r["lang"]: r["n"] for r in mv.df(spark).collect()}
+    assert got == {"en": 1, "fi": 1}  # u/c's epoch is gone again
+
+
+def test_mview_rollback_below_schema_change_is_clear_error(spark, tmp_path):
+    """If the rollback lands BELOW the commit that added a column the view
+    aggregates, the rebuild must fail with a clear ValueError naming the
+    column (SQL semantics: the table no longer has it), not a KeyError
+    from the NULL-fill path."""
+    import pyspark.sql.types as T
+
+    lake = SnapLake.create(str(tmp_path / "rbsc"), PAGES_SCHEMA_V1, n_buckets=4)
+    lake.merge(spark, _batch(spark, [(1, "upsert", "u/a", "en", "x")]), 0)
+    wal2 = T.StructType(
+        list(WAL_SCHEMA_V1.fields) + [T.StructField("fetch_status", T.IntegerType(), True)]
+    )
+    lake.merge(
+        spark,
+        spark.createDataFrame([(2, "upsert", "u/b", TS, None, None, "fi", 0, 200)], wal2),
+        1,
+    )
+    mv = IncrementalAggView(
+        lake, "v", ["lang"], [AggSpec("n", "count"), AggSpec("s", "sum", "fetch_status")]
+    )
+    mv.full_refresh(spark)
+    lake.rollback(1)  # schema at v1 predates fetch_status
+    with pytest.raises(ValueError, match="fetch_status"):
+        mv.incremental_refresh(spark)
