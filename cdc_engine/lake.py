@@ -564,12 +564,20 @@ class SnapLake:
         HEAD swap, making every pending side-file rename durable before the
         manifest that references them can become visible."""
         ap = os.path.join(self.path, rel)
+        overwrite = os.path.exists(ap)
         tmp = f"{ap}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(obj, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, ap)
+        if overwrite:
+            # the LRU assumes side files are immutable; an overwrite (crash
+            # retry, or re-applying an epoch onto rollback/crash debris at
+            # its deterministic path) breaks that — drop the cache so no
+            # reader resurrects the superseded content. Never taken on the
+            # happy path: fresh commits use never-before-seen paths.
+            _load_side_json_cached.cache_clear()
 
     # ------------------------------------------------------------- ledger
     def _resolve_ref(self, ref):
@@ -1599,6 +1607,36 @@ class SnapLake:
                     # references; if it is truly ours and orphaned,
                     # expire_snapshots' vacuum reclaims it by reference set.
                     return None
+                if man["version"] < version and os.path.isfile(
+                    self._manifest_path(version)
+                ):
+                    # a manifest exists at our target version but HEAD never
+                    # advanced to it: either a live peer in the microsecond
+                    # window between its exclusive create and HEAD swap, or
+                    # UNPUBLISHED DEBRIS (crash in that window, or a crash
+                    # mid-rollback left abandoned ahead-of-HEAD manifests).
+                    # A live peer swaps HEAD immediately — grant a grace
+                    # period; if HEAD still hasn't moved, clear the debris
+                    # (unpublished == uncommitted) and retry this version.
+                    time.sleep(0.05 * (_race + 1))
+                    if self.manifest()["version"] < version:
+                        print(
+                            f"[cdc_engine] clearing unpublished manifest "
+                            f"debris v{version} (HEAD stayed at "
+                            f"v{self.manifest()['version']} through the "
+                            f"grace period; crash debris, not a live "
+                            f"commit)",
+                            file=sys.stderr,
+                        )
+                        try:
+                            os.remove(self._manifest_path(version))
+                        except FileNotFoundError:
+                            pass  # the peer's HEAD swap and our check raced
+                        _load_side_json_cached.cache_clear()
+                        # fall through to the common rebase: it recomputes
+                        # the SAME version from the unchanged head and,
+                        # crucially, rebuilds the side bundle fresh (reusing
+                        # the populated one would duplicate its members)
                 # rebase: head schema may have evolved under us; table
                 # schema becomes the union (our already-written files are
                 # narrower-or-equal and NULL-fill at read, same as any

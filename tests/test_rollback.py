@@ -154,3 +154,38 @@ def test_rollback_across_compaction_then_reapply(spark, tmp_path):
     # and the audit stays clean after all the surgery
     r = lake.fsck(deep=True)
     assert r["ok"] and r["errors"] == [], r
+
+
+def test_crash_mid_rollback_leaves_recoverable_debris(spark, tmp_path):
+    """rollback swaps HEAD atomically FIRST, so a crash before any
+    cleanup leaves ahead-of-HEAD manifests and their (undeleted) files
+    behind. The table must remain fully operational from that state:
+    fsck reports the debris as warnings (not errors), the ledger reads
+    as rolled back (it travels with HEAD), re-applying the undone epochs
+    overwrites the debris in the deterministic commit dirs and lands on
+    the original state bit-for-bit, and a deep fsck afterwards is clean."""
+    from cdc_engine.lake import _load_side_json_cached
+
+    lake = SnapLake.create(str(tmp_path / "c"), PAGES_SCHEMA_V1, n_buckets=4, mode="mor")
+    eps = _epochs()
+    for e, rows in enumerate(eps):
+        lake.merge(spark, _batch(spark, rows), epoch_id=e)
+    n0, h0 = lake.state_hash(spark)
+
+    # crash window: HEAD swapped to 2, zero cleanup performed
+    with open(os.path.join(lake.meta_dir, "HEAD"), "w") as f:
+        f.write("2")
+    _load_side_json_cached.cache_clear()  # model the process restart
+
+    assert lake.head_version() == 2
+    r = lake.fsck()
+    assert r["ok"] and r["errors"] == [], r
+    assert any("ahead of HEAD" in w for w in r["warnings"]), r
+
+    # replay's view after the crash: epochs 2.. are uncommitted again
+    assert set(lake.committed_epochs()) == {0, 1}
+    for e in (2, 3, 4):
+        assert lake.merge(spark, _batch(spark, eps[e]), epoch_id=e) is not None
+    assert lake.state_hash(spark) == (n0, h0)
+    r = lake.fsck(deep=True)
+    assert r["ok"] and r["errors"] == [], r
