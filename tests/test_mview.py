@@ -259,3 +259,53 @@ def test_mview_rollback_below_schema_change_is_clear_error(spark, tmp_path):
     lake.rollback(1)  # schema at v1 predates fetch_status
     with pytest.raises(ValueError, match="fetch_status"):
         mv.incremental_refresh(spark)
+
+
+def test_mview_random_history_incremental_equals_recompute(spark, tmp_path):
+    """Property (seeded, SURVEY.md §5.3 style): after EVERY epoch of a
+    randomized CDC history — inserts, updates, deletes, NULL groups and
+    NULL sum inputs, plus a mid-history MoR compaction (a physical-only
+    commit whose delta must be exact zeros) — the incrementally
+    maintained view equals a fresh GROUP BY over the live table."""
+    import random
+    import pyspark.sql.types as T
+
+    rng = random.Random(20260817)
+    wal2 = T.StructType(
+        list(WAL_SCHEMA_V1.fields) + [T.StructField("fetch_status", T.IntegerType(), True)]
+    )
+    lake = SnapLake.create(str(tmp_path / "prop"), PAGES_SCHEMA_V1, n_buckets=8, mode="mor")
+    mv = IncrementalAggView(
+        lake, "p", ["lang"],
+        [AggSpec("n", "count"), AggSpec("nfs", "count", "fetch_status"),
+         AggSpec("s", "sum", "fetch_status")],
+    )
+    urls = [f"u/{i}" for i in range(40)]
+    langs = ["en", "fi", "sv", None]
+    seq, alive = 0, set()
+    for e in range(8):
+        rows = []
+        for u in rng.sample(urls, rng.randint(1, 20)):  # one op per url
+            seq += 1
+            if u in alive and rng.random() < 0.3:
+                rows.append((seq, "delete", u, TS, None, None, None, 0, None))
+                alive.discard(u)
+            else:
+                fs = rng.choice([None, 200, 301, 404, 500])
+                rows.append((seq, "upsert", u, TS, None, f"t{seq}", rng.choice(langs), 0, fs))
+                alive.add(u)
+        lake.merge(spark, spark.createDataFrame(rows, wal2), epoch_id=e)
+        if e == 4:
+            lake.compact(spark, sorted(lake.bucket_file_counts()))
+        st = mv.incremental_refresh(spark, route="incremental")
+        assert st["mode"] in ("incremental", "full"), st
+        if e == 0:
+            continue  # first refresh bootstraps as full
+        expect = _rows(
+            lake.scan(spark).groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("fetch_status").alias("nfs"),
+                F.sum("fetch_status").alias("s"),
+            )
+        )
+        assert _rows(mv.df(spark)) == expect, f"diverged after epoch {e}"
