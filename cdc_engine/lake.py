@@ -551,6 +551,34 @@ class SnapLake:
         finally:
             os.close(dfd)
 
+    def _clear_unpublished_manifest(self, version: int) -> bool:
+        """Crash-debris recovery shared by merge and compact: a manifest
+        file exists at ``version`` but HEAD sits below it. Either a live
+        peer is in the microsecond window between its exclusive create and
+        HEAD swap, or the file is UNPUBLISHED DEBRIS (crash in that window,
+        or a crash mid-rollback left abandoned ahead-of-HEAD manifests). A
+        live peer swaps HEAD immediately, so grant a grace period; if HEAD
+        still hasn't reached ``version``, delete the debris (unpublished ==
+        uncommitted) and return True. Returns False when HEAD advanced —
+        a real racing peer published."""
+        if self.manifest()["version"] >= version:
+            return False
+        time.sleep(0.1)
+        if self.manifest()["version"] >= version:
+            return False
+        print(
+            f"[cdc_engine] clearing unpublished manifest debris v{version} "
+            f"(HEAD stayed at v{self.manifest()['version']} through the "
+            f"grace period; crash debris, not a live commit)",
+            file=sys.stderr,
+        )
+        try:
+            os.remove(self._manifest_path(version))
+        except FileNotFoundError:
+            pass  # the peer's HEAD swap and our check raced
+        _load_side_json_cached.cache_clear()
+        return True
+
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.manifest(version)["schema"])
 
@@ -1610,33 +1638,13 @@ class SnapLake:
                 if man["version"] < version and os.path.isfile(
                     self._manifest_path(version)
                 ):
-                    # a manifest exists at our target version but HEAD never
-                    # advanced to it: either a live peer in the microsecond
-                    # window between its exclusive create and HEAD swap, or
-                    # UNPUBLISHED DEBRIS (crash in that window, or a crash
-                    # mid-rollback left abandoned ahead-of-HEAD manifests).
-                    # A live peer swaps HEAD immediately — grant a grace
-                    # period; if HEAD still hasn't moved, clear the debris
-                    # (unpublished == uncommitted) and retry this version.
-                    time.sleep(0.05 * (_race + 1))
-                    if self.manifest()["version"] < version:
-                        print(
-                            f"[cdc_engine] clearing unpublished manifest "
-                            f"debris v{version} (HEAD stayed at "
-                            f"v{self.manifest()['version']} through the "
-                            f"grace period; crash debris, not a live "
-                            f"commit)",
-                            file=sys.stderr,
-                        )
-                        try:
-                            os.remove(self._manifest_path(version))
-                        except FileNotFoundError:
-                            pass  # the peer's HEAD swap and our check raced
-                        _load_side_json_cached.cache_clear()
-                        # fall through to the common rebase: it recomputes
-                        # the SAME version from the unchanged head and,
-                        # crucially, rebuilds the side bundle fresh (reusing
-                        # the populated one would duplicate its members)
+                    self._clear_unpublished_manifest(version)
+                    man = self.manifest()
+                    # fall through to the common rebase: it recomputes the
+                    # target version from the fresh head (the SAME number
+                    # if debris was cleared) and, crucially, rebuilds the
+                    # side bundle fresh (reusing the populated one would
+                    # duplicate its members)
                 # rebase: head schema may have evolved under us; table
                 # schema becomes the union (our already-written files are
                 # narrower-or-equal and NULL-fill at read, same as any
@@ -1788,7 +1796,16 @@ class SnapLake:
             "lineage": [],
         }
         new_man.pop("files", None)  # legacy inline list superseded by groups
-        self._write_manifest(new_man)
+        try:
+            self._write_manifest(new_man)
+        except FileExistsError:
+            # same wedge merge recovers from: ahead-of-HEAD debris at our
+            # target version. Clear and retry once; if HEAD actually moved
+            # (live writer — out of compact's single-writer contract),
+            # surface the collision.
+            if not self._clear_unpublished_manifest(version):
+                raise
+            self._write_manifest(new_man)
         return {"version": version, "commit_id": commit_id, "buckets": sorted(bucket_set)}
 
     def maybe_compact(self, spark: SparkSession, max_files_per_bucket: int = 8):

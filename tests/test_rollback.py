@@ -189,3 +189,32 @@ def test_crash_mid_rollback_leaves_recoverable_debris(spark, tmp_path):
     assert lake.state_hash(spark) == (n0, h0)
     r = lake.fsck(deep=True)
     assert r["ok"] and r["errors"] == [], r
+
+
+def test_compact_recovers_from_manifest_debris(spark, tmp_path):
+    """Same crash window, but COMPACTION is the first writer to hit the
+    ahead-of-HEAD debris — it must clear it and commit (it used to raise
+    FileExistsError and wedge); the subsequent re-applied epochs then
+    climb over the remaining debris and reproduce the original state."""
+    lake = SnapLake.create(str(tmp_path / "cc"), PAGES_SCHEMA_V1, n_buckets=4, mode="mor")
+    eps = _epochs()
+    for e, rows in enumerate(eps):
+        lake.merge(spark, _batch(spark, rows), epoch_id=e)
+    n0, h0 = lake.state_hash(spark)
+
+    with open(os.path.join(lake.meta_dir, "HEAD"), "w") as f:
+        f.write("2")
+    from cdc_engine.lake import _load_side_json_cached
+
+    _load_side_json_cached.cache_clear()
+
+    r = lake.compact(spark, sorted(lake.bucket_file_counts()))  # hits v3 debris
+    assert r is not None and r["version"] == 3
+    assert {x["url"]: x["text"] for x in lake.scan(spark).collect()} == {
+        x["url"]: x["text"] for x in lake.scan(spark, version=2).collect()
+    }
+    for e in (2, 3, 4):
+        assert lake.merge(spark, _batch(spark, eps[e]), epoch_id=e) is not None
+    assert lake.state_hash(spark) == (n0, h0)
+    r = lake.fsck(deep=True)
+    assert r["ok"] and r["errors"] == [], r
