@@ -191,6 +191,37 @@ def test_crash_mid_rollback_leaves_recoverable_debris(spark, tmp_path):
     assert r["ok"] and r["errors"] == [], r
 
 
+def test_vacuum_reclaims_crash_rollback_orphans_then_reapply(spark, tmp_path):
+    """expire_snapshots' vacuum after a crashed rollback: orphan DATA
+    files of the abandoned commits are reclaimed (they reference no
+    retained manifest), the ahead-of-HEAD manifest debris survives the
+    vacuum (it is cleared by the next commit instead), and re-applying
+    the undone epochs still reproduces the original state."""
+    lake = SnapLake.create(str(tmp_path / "vx"), PAGES_SCHEMA_V1, n_buckets=4, mode="mor")
+    eps = _epochs()
+    for e, rows in enumerate(eps):
+        lake.merge(spark, _batch(spark, rows), epoch_id=e)
+    n0, h0 = lake.state_hash(spark)
+
+    with open(os.path.join(lake.meta_dir, "HEAD"), "w") as f:
+        f.write("2")
+    from cdc_engine.lake import _load_side_json_cached
+
+    _load_side_json_cached.cache_clear()
+
+    assert lake.fsck()["orphan_data_files"] > 0
+    lake.expire_snapshots(keep_last=10)  # vacuum reclaims the orphans
+    r = lake.fsck()
+    assert r["ok"] and r["orphan_data_files"] == 0, r
+    assert any("ahead of HEAD" in w for w in r["warnings"]), r  # debris remains
+
+    for e in (2, 3, 4):
+        assert lake.merge(spark, _batch(spark, eps[e]), epoch_id=e) is not None
+    assert lake.state_hash(spark) == (n0, h0)
+    r = lake.fsck(deep=True)
+    assert r["ok"] and r["errors"] == [] and r["warnings"] == [], r
+
+
 def test_compact_recovers_from_manifest_debris(spark, tmp_path):
     """Same crash window, but COMPACTION is the first writer to hit the
     ahead-of-HEAD debris — it must clear it and commit (it used to raise
