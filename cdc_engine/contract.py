@@ -54,6 +54,7 @@ from cdc_engine.simsearch import (
 )
 from cdc_engine.textops import (
     STOPWORDS,
+    bm25_topk,
     doc_fingerprint,
     lang_id,
     quality_score,
@@ -898,6 +899,19 @@ def q_tfidf_topk(spark, sf):
     the quantized score is the sort key in both engines so a last-ulp
     double divergence cannot reorder the top-k)."""
     return _p(tfidf_topk(t(spark, sf, "documents"), k=5), "doc_id", "rank")
+
+
+def q_bm25_topk(spark, sf):
+    """BM25 top-10 documents for a fixed 5-term query (textops.bm25_topk):
+    lexical retrieval completing the search family next to TF-IDF term
+    extraction and the embedding ANN path. Per-term contributions are
+    milli-quantized longs summed per doc, so the ranking is bit-stable
+    cross-engine."""
+    return bm25_topk(
+        t(spark, sf, "documents"),
+        terms=["hash", "join", "stream", "vector", "window"],
+        k=10,
+    )
 
 
 def q_simhash_candidates(spark, sf):
@@ -1806,6 +1820,37 @@ ORACLE_SQL: dict[str, str] = {
          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, cell) rn FROM s2)
         WHERE rn = 1 ORDER BY vec_id
     """,
+    "bm25_topk": """
+        WITH tokm AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+                FROM documents) WHERE w <> ''),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM tokm GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         CAST(SUM(dl) AS DOUBLE) AS sumdl FROM dl),
+        q AS (SELECT doc_id, w FROM tokm
+              WHERE w IN ('hash','join','stream','vector','window')),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM q GROUP BY doc_id, w),
+        dfc AS (SELECT w, COUNT(*) AS df
+                FROM (SELECT DISTINCT doc_id, w FROM q) GROUP BY w),
+        contrib AS (SELECT tf.doc_id,
+                           CAST(ROUND(
+                               ln((stats.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+                               * (tf.tf * (1.2 + 1.0))
+                               / (tf.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * dl.dl / (stats.sumdl / stats.n)))
+                               * 1000) AS BIGINT) AS s_milli
+                    FROM tf JOIN dfc USING (w)
+                    JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        agg AS (SELECT doc_id, CAST(SUM(s_milli) AS BIGINT) AS score_milli,
+                       CAST(COUNT(*) AS INTEGER) AS n_terms
+                FROM contrib GROUP BY doc_id)
+        SELECT doc_id, score_milli, n_terms FROM agg
+        ORDER BY score_milli DESC, doc_id ASC LIMIT 10
+    """,
     "tfidf_topk": """
         WITH tokm AS (
             SELECT doc_id, w FROM (
@@ -2454,7 +2499,7 @@ ORACLE_SQL["url_canonicalize"] = (
 #   * multimodal_blob_meta — multimodal_features (real decode) +
 #                           multimodal_frame_sample keep the family;
 #                           blob_meta is its narrow metadata projection
-# All 72 remain covered by the local dtype-sensitive DuckDB mirror
+# All queries (window + tail) remain covered by the local dtype-sensitive DuckDB mirror
 # (tests/test_contract.py) regardless of the driver cap.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_replay_mini": q_cdc_replay_mini,
@@ -2469,6 +2514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_topk": q_bpe_pair_topk,
     "pagerank_domains": q_pagerank_domains,
     "tfidf_topk": q_tfidf_topk,  # new in r5, must get its first row this round
+    "bm25_topk": q_bm25_topk,  # new in r5 (late): lexical retrieval top-k
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
     "seq_packing": q_seq_packing,
@@ -2490,7 +2536,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank_sources": q_window_rank_sources,
     "stats_moments_value": q_stats_moments_value,
     # ---- the rest of the 50-row window -----------------------------------
-    "multimodal_features": q_multimodal_features,
     "cdc_final_state": q_cdc_final_state,
     "cdc_merge_outcomes": q_cdc_merge_outcomes,
     "ledger_anti_join": q_ledger_anti_join,
@@ -2521,6 +2566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "denylist_scrub": q_denylist_scrub,
     "repetition_stats": q_repetition_stats,
     # ---- deliberate tail under the 50-row driver cap (see header) --------
+    "multimodal_features": q_multimodal_features,  # r04-green; displaced by bm25_topk
     "simhash_fingerprints": q_simhash_fingerprints,
     "multimodal_blob_meta": q_multimodal_blob_meta,
     "lsh_candidates": q_lsh_candidates,

@@ -194,6 +194,85 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def bm25_topk(
+    docs: DataFrame, terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed query-term set — the
+    lexical complement to the embedding ANN family (simsearch.py): the
+    standard full-text relevance score
+
+        sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+        idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)   [Robertson/Lucene]
+
+    with the per-term contribution milli-quantized to a long BEFORE the
+    per-doc sum (same determinism recipe as tfidf_topk: the quantized
+    integer is what both engines aggregate and sort, so a last-ulp
+    double divergence cannot reorder the top-k; all ratio inputs — tf,
+    df, dl, N, sum(dl) — are exact integers, and avgdl is derived as
+    sum/count inside the expression, never pre-rounded).
+
+    Scale shape (the 100 TB story): the token explode is filtered to the
+    |terms| query words IMMEDIATELY, so tf/df relations are query-sized,
+    not corpus-sized; dl is one keyed count per doc (map-side
+    combinable); corpus stats ride the plan as a broadcast 1-row
+    relation; the only global operation is the final top-k sort over
+    docs that matched at least one term. Pure Catalyst, no Python.
+    Returns (doc_id, score_milli, n_terms) ordered by
+    (score_milli desc, doc_id asc), exact cross-engine tiebreak."""
+    tlist = sorted({t.lower() for t in terms})
+    tok = docs.select("doc_id", F.explode(tokens_expr()).alias("w"))
+    # doc length in-row (no explode, no shuffle): size() of the token
+    # array; token-bearing docs only, matching the oracle's GROUP BY over
+    # exploded tokens (NULL text gives size -1 and drops out the same way)
+    dl = docs.select(
+        "doc_id", F.size(tokens_expr()).cast("long").alias("dl")
+    ).where(F.col("dl") > 0)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("dl").cast("double").alias("_sumdl"),
+    )
+    qtok = tok.where(F.col("w").isin(tlist))
+    tf = qtok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfc = (
+        qtok.select("doc_id", "w").distinct().groupBy("w").agg(F.count("*").alias("df"))
+    )
+    contrib = (
+        tf.join(dfc, "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * (F.lit(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        1.0
+                        - F.lit(b)
+                        + F.lit(b) * F.col("dl") / (F.col("_sumdl") / F.col("_n"))
+                    )
+                )
+                * 1000
+            )
+            .cast("long")
+            .alias("s_milli"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("s_milli").cast("long").alias("score_milli"),
+            F.count("*").cast("int").alias("n_terms"),
+        )
+        .orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def shingle_hashes_expr(k: int):
     """In-row k-gram shingle hashes over word tokens: md5 of the space-
     joined gram, 48-bit prefix as a long (the same hash construction as

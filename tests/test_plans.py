@@ -74,6 +74,7 @@ def test_text_ops_have_no_python_nodes(spark):
         "lsh_candidates",
         "dedup_canonical_map",
         "tfidf_topk",
+        "bm25_topk",
         "kmeans_refine",
         "line_dedup",
         "pii_scrub",
