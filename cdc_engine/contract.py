@@ -49,6 +49,7 @@ from cdc_engine.simsearch import (
     ivf_assign,
     ivf_query_topk,
     kmeans_refine,
+    semdedup,
     srp_bucket_sql,
     srp_buckets,
 )
@@ -914,6 +915,16 @@ def q_bm25_topk(spark, sf):
     )
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup-style semantic dedup screen [Abbas et al. 2023]: IVF-cell
+    cluster assignment, then within each cell drop every vector whose
+    cosine to a lower-id cell member clears tau=0.9. Cosine threshold is
+    evaluated in pure int64 (centi-quantized components, squared
+    comparison — simsearch.semdedup docstring has the overflow bound), so
+    the DuckDB oracle is bit-exact."""
+    return _p(semdedup(t(spark, sf, "embeddings"), n_cells=16, tau_milli=900), "vec_id")
+
+
 def q_simhash_candidates(spark, sf):
     """Banded SimHash Hamming-ball candidate join (4 bands x 12 bits,
     Hamming <= 3 — exact recall by pigeonhole). Completes the simhash
@@ -1746,6 +1757,34 @@ ORACLE_SQL: dict[str, str] = {
               GROUP BY e.vec_id)
         SELECT vec_id, dot_q FROM d ORDER BY dot_q DESC, vec_id LIMIT 10
     """,
+    "semdedup": f"""
+        WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+        s AS (SELECT e.vec_id, c.cell, {_DOT_SQL.format(a='e.embedding', b='c.ce')} AS cell_dot_q
+              FROM embeddings e, c, range(1, 65) t(i) GROUP BY e.vec_id, c.cell),
+        a AS (SELECT vec_id, cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_dot_q DESC, cell) AS rn FROM s)
+              WHERE rn = 1),
+        qe AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qe
+               FROM embeddings),
+        v AS (SELECT a.vec_id, a.cell, q.qe,
+                     (SELECT CAST(SUM(q.qe[i] * q.qe[i]) AS BIGINT)
+                      FROM range(1, 65) t(i)) AS n2
+              FROM a JOIN qe q USING (vec_id)),
+        hits AS (SELECT b.vec_id AS vb, CAST(COUNT(*) AS BIGINT) AS n_near
+                 FROM v x JOIN v b ON x.cell = b.cell AND x.vec_id < b.vec_id,
+                      LATERAL (SELECT CAST(SUM(x.qe[i] * b.qe[i]) AS BIGINT) AS dot
+                               FROM range(1, 65) t(i)) d
+                 WHERE d.dot > 0
+                   AND 1000000 * d.dot * d.dot >= 810000 * x.n2 * b.n2
+                 GROUP BY b.vec_id)
+        SELECT v.vec_id, v.cell,
+               CAST(COALESCE(h.n_near, 0) AS BIGINT) AS n_near,
+               CAST(CASE WHEN COALESCE(h.n_near, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS dropped
+        FROM v LEFT JOIN hits h ON v.vec_id = h.vb
+        ORDER BY v.vec_id
+    """,
     "ann_srp_buckets": srp_bucket_sql(n_bits=16, dim=64),
     "lang_id": """
         SELECT doc_id, lang,
@@ -2515,6 +2554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_domains": q_pagerank_domains,
     "tfidf_topk": q_tfidf_topk,  # new in r5, must get its first row this round
     "bm25_topk": q_bm25_topk,  # new in r5 (late): lexical retrieval top-k
+    "semdedup": q_semdedup,  # new in r5 (late): semantic dedup screen
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
     "seq_packing": q_seq_packing,
@@ -2553,7 +2593,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical_map": q_dedup_canonical_map,
     "jaccard_on_lsh": q_jaccard_on_lsh,
     "edit_distance_rescore": q_edit_distance_rescore,
-    "neardup_components": q_neardup_components,
     "kmeans_refine": q_kmeans_refine,
     "ann_ivf_query_topk": q_ann_ivf_query_topk,
     "lang_id": q_lang_id,
@@ -2566,6 +2605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "denylist_scrub": q_denylist_scrub,
     "repetition_stats": q_repetition_stats,
     # ---- deliberate tail under the 50-row driver cap (see header) --------
+    "neardup_components": q_neardup_components,  # r04-green; displaced by semdedup
     "multimodal_features": q_multimodal_features,  # r04-green; displaced by bm25_topk
     "simhash_fingerprints": q_simhash_fingerprints,
     "multimodal_blob_meta": q_multimodal_blob_meta,

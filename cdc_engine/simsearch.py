@@ -237,3 +237,94 @@ def kmeans_refine(
             "cell", F.coalesce(F.col("nce"), F.col("ce")).alias("ce")
         )
     return assign
+
+
+def semdedup(
+    emb: DataFrame, n_cells: int = 16, tau_milli: int = 900
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication [Abbas et al. 2023,
+    arXiv:2303.09540]: cluster the embeddings, then within each cluster
+    drop every vector whose cosine similarity to a LOWER-id cluster member
+    is >= tau. Returns one row per vector:
+    (vec_id, cell, n_near, dropped) — n_near = how many lower-id in-cell
+    neighbors cleared the threshold, dropped = 1 iff n_near > 0.
+
+    Cross-engine exactness (no sqrt, no doubles): components are
+    CENTI-quantized BIGINTs (round(x*100)), so dot products and squared
+    norms are exact integers, and `cos(a,b) >= tau_milli/1000` is
+    evaluated as
+
+        dot > 0  AND  1e6 * dot^2 >= tau_milli^2 * |a|^2 * |b|^2
+
+    — pure int64 arithmetic. Overflow bound: with |x| <= 2.0 and dim 64,
+    dot <= 64*200^2 = 2.56e6, so 1e6*dot^2 <= 6.6e18 < 2^63. (Centi, not
+    milli like dot_q: milli would overflow the squared comparison.)
+
+    Scale shape (the 100 TB story): assignment is a broadcast of C
+    centroids + max_by hash-aggregate (ivf_assign); the screen is an
+    equi-join on `cell` — pairwise ONLY within a cluster, never across
+    the corpus. That within-cluster quadratic IS the SemDeDup algorithm;
+    at scale C grows with n (the paper uses 11k clusters for LAION) so
+    the per-cluster block stays bounded, and the cell key is exactly the
+    shuffle partitioner. Seed cells here come from ivf_assign's
+    deterministic seed set; a production run would feed kmeans_refine's
+    trained cells through the identical screen."""
+    assign = ivf_assign(emb, n_cells).select("vec_id", "cell")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 100) as bigint))"
+        ).alias("qe"),
+    )
+    v = q.join(assign, "vec_id").select(
+        "vec_id",
+        "cell",
+        "qe",
+        F.expr(
+            "aggregate(transform(qe, x -> x * x), cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("n2"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("va"),
+        "cell",
+        F.col("qe").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vb"),
+        "cell",
+        F.col("qe").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    tau2 = tau_milli * tau_milli
+    hits = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vb"))
+        .select(
+            "vb",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+                "cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("dot"),
+            "na2",
+            "nb2",
+        )
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.lit(1000000).cast("long") * F.col("dot") * F.col("dot")
+                >= F.lit(tau2).cast("long") * F.col("na2") * F.col("nb2")
+            )
+        )
+        .groupBy("vb")
+        .agg(F.count("*").alias("n_near"))
+    )
+    return (
+        v.join(hits, v.vec_id == hits.vb, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+            (F.coalesce(F.col("n_near"), F.lit(0)) > 0).cast("int").alias("dropped"),
+        )
+    )
