@@ -116,6 +116,10 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "dup_passage_scrub",
         "pii_scrub",
         "url_canonicalize",
+        "bm25_topk",
+        "semdedup",
+        "unigram_logprob",
+        "quality_funnel",
     ]
     for name in headline:
         t0 = time.monotonic()

@@ -58,9 +58,11 @@ from cdc_engine.textops import (
     bm25_topk,
     doc_fingerprint,
     lang_id,
+    quality_funnel,
     quality_score,
     tfidf_topk,
     token_count,
+    unigram_logprob,
     winnow_fingerprint,
 )
 
@@ -915,6 +917,21 @@ def q_bm25_topk(spark, sf):
     )
 
 
+def q_unigram_logprob(spark, sf):
+    """Corpus-unigram LM cross-entropy per document (textops.unigram_logprob)
+    — the deterministic relational stand-in for the CCNet/KenLM perplexity
+    quality filter. ln quantized once per vocab type; everything downstream
+    is exact integer arithmetic."""
+    return _p(unigram_logprob(t(spark, sf, "documents")), "doc_id")
+
+
+def q_quality_funnel(spark, sf):
+    """Gopher-style 5-rule quality funnel (textops.quality_funnel): per-doc
+    pass flags + first failing stage, all integer/milli comparisons in one
+    narrow shuffle-free projection."""
+    return _p(quality_funnel(t(spark, sf, "documents")), "doc_id")
+
+
 def q_semdedup(spark, sf):
     """SemDeDup-style semantic dedup screen [Abbas et al. 2023]: IVF-cell
     cluster assignment, then within each cell drop every vector whose
@@ -1757,6 +1774,54 @@ ORACLE_SQL: dict[str, str] = {
               GROUP BY e.vec_id)
         SELECT vec_id, dot_q FROM d ORDER BY dot_q DESC, vec_id LIMIT 10
     """,
+    "unigram_logprob": """
+        WITH tokm AS (SELECT doc_id, w FROM
+                (SELECT doc_id,
+                        unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+                 FROM documents) WHERE w <> ''),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tokm GROUP BY doc_id, w),
+        cnt AS (SELECT w, COUNT(*) AS cnt FROM tokm GROUP BY w),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS _tot FROM tokm),
+        lp AS (SELECT w, CAST(ROUND(1000.0 * ln(_tot / cnt)) AS BIGINT) AS lp_milli
+               FROM cnt, tot)
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf * lp_milli) AS BIGINT) AS lp_total_milli,
+               CAST(ROUND(SUM(tf * lp_milli) / SUM(tf)) AS BIGINT) AS avg_lp_milli
+        FROM tf JOIN lp USING (w) GROUP BY doc_id ORDER BY doc_id
+    """,
+    "quality_funnel": f"""
+        WITH m AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '') AS toks,
+                length(text) AS n_chars,
+                len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+                len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b')) AS stop
+            FROM documents),
+        f AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_words,
+                CAST(len(toks) >= 25 AND len(toks) <= 90 AS INTEGER) AS r1_len,
+                CAST(CAST(ROUND(1000.0 * COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                                / GREATEST(len(toks), 1)) AS BIGINT)
+                     BETWEEN 3000 AND 10000 AS INTEGER) AS r2_wordlen,
+                CAST(stop >= 2 AS INTEGER) AS r3_stop,
+                CAST(CAST(ROUND(1000.0 * punct / GREATEST(n_chars, 1)) AS BIGINT)
+                     <= 150 AS INTEGER) AS r4_punct,
+                CAST(CAST(ROUND(1000.0 * len(list_distinct(toks))
+                                / GREATEST(len(toks), 1)) AS BIGINT)
+                     > 200 AS INTEGER) AS r5_ttr
+            FROM m)
+        SELECT doc_id, n_words, r1_len, r2_wordlen, r3_stop, r4_punct, r5_ttr,
+               CASE WHEN r1_len = 0 THEN 'r1_len'
+                    WHEN r2_wordlen = 0 THEN 'r2_wordlen'
+                    WHEN r3_stop = 0 THEN 'r3_stop'
+                    WHEN r4_punct = 0 THEN 'r4_punct'
+                    WHEN r5_ttr = 0 THEN 'r5_ttr'
+                    ELSE 'pass' END AS first_fail,
+               r1_len * r2_wordlen * r3_stop * r4_punct * r5_ttr AS passed
+        FROM f ORDER BY doc_id
+    """,
     "semdedup": f"""
         WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
         s AS (SELECT e.vec_id, c.cell, {_DOT_SQL.format(a='e.embedding', b='c.ce')} AS cell_dot_q
@@ -2555,6 +2620,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,  # new in r5, must get its first row this round
     "bm25_topk": q_bm25_topk,  # new in r5 (late): lexical retrieval top-k
     "semdedup": q_semdedup,  # new in r5 (late): semantic dedup screen
+    "unigram_logprob": q_unigram_logprob,  # new in r5 (late): LM quality proxy
+    "quality_funnel": q_quality_funnel,  # new in r5 (late): Gopher rule funnel
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
     "seq_packing": q_seq_packing,
@@ -2589,9 +2656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3_topk": q_tpch_q3_topk,
     "tpch_q5_region": q_tpch_q5_region,
     "rollup_pricing": q_rollup_pricing,
-    "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "dedup_canonical_map": q_dedup_canonical_map,
-    "jaccard_on_lsh": q_jaccard_on_lsh,
     "edit_distance_rescore": q_edit_distance_rescore,
     "kmeans_refine": q_kmeans_refine,
     "ann_ivf_query_topk": q_ann_ivf_query_topk,
@@ -2606,6 +2671,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     # ---- deliberate tail under the 50-row driver cap (see header) --------
     "neardup_components": q_neardup_components,  # r04-green; displaced by semdedup
+    "jaccard_on_lsh": q_jaccard_on_lsh,  # r04-green; displaced by unigram_logprob
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,  # r04-green; displaced by quality_funnel
     "multimodal_features": q_multimodal_features,  # r04-green; displaced by bm25_topk
     "simhash_fingerprints": q_simhash_fingerprints,
     "multimodal_blob_meta": q_multimodal_blob_meta,

@@ -555,3 +555,117 @@ def bpe_pair_topk(docs: DataFrame, k: int = 30) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(k)
     )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-unigram LM score per document — the relational, deterministic
+    stand-in for the CCNet/KenLM perplexity quality filter [Wenzek et al.
+    2020]: train p(w) = count(w)/total over the whole corpus, score each
+    doc by its total and mean token negative log-prob. Returns
+    (doc_id, n_tokens, lp_total_milli, avg_lp_milli); avg_lp_milli is the
+    per-token cross-entropy in milli-nats — LOW = predictable/common
+    tokens, HIGH = rare-token-heavy (the tails a perplexity filter trims).
+
+    Cross-engine exactness: ln is quantized ONCE per vocabulary type
+    (lp_milli = round(1000 * ln(total/count))), then everything downstream
+    is exact integer arithmetic (sum of tf * lp_milli); the only remaining
+    double op is the final mean's round, same risk class as tfidf_topk's
+    accepted score_milli.
+
+    Scale shape (the 100 TB story): tf groupBy (doc_id, w) with map-side
+    combine, vocabulary groupBy (w), one shuffle join on w, one groupBy
+    doc_id — every step keyed on token or doc, nothing pairwise; corpus
+    total rides the plan as a broadcast 1-row relation (no driver count
+    action). Pure Catalyst, no Python."""
+    tok = docs.select("doc_id", F.explode(tokens_expr()).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    cnt = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = tok.agg(F.count("*").cast("double").alias("_tot"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.lit(1000.0) * F.log(F.col("_tot") / F.col("cnt")))
+        .cast("long")
+        .alias("lp_milli"),
+    )
+    return (
+        tf.join(lp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp_milli")).cast("long").alias("lp_total_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "lp_total_milli",
+            F.round(F.col("lp_total_milli") / F.col("n_tokens"))
+            .cast("long")
+            .alias("avg_lp_milli"),
+        )
+    )
+
+
+def quality_funnel(docs: DataFrame) -> DataFrame:
+    """Gopher-style staged quality-filter funnel [Rae et al. 2021 §A1.1],
+    thresholds scaled to the synthetic corpus: five rules evaluated in a
+    FIXED order, per-doc pass flags plus the first failing stage — the
+    shape a production pipeline needs to attribute retention loss to a
+    stage (the funnel report is one groupBy over first_fail).
+
+      r1_len      25 <= word count <= 90
+      r2_wordlen  mean word length in [3, 10] characters
+      r3_stop     >= 2 English stopword hits (Gopher's "stop word" rule;
+                  doubles as a cheap language gate on a mixed corpus)
+      r4_punct    punctuation chars <= 15% of characters
+      r5_ttr      type-token ratio > 0.2 (repetition gate)
+
+    All five are integer/milli comparisons on one narrow projection — a
+    single stage, no shuffle at all until a consumer aggregates. Returns
+    (doc_id, n_words, r1_len..r5_ttr as 0/1 ints, first_fail, passed)."""
+    toks = tokens_expr()
+    n_words = F.size(toks)
+    n_chars = F.length("text")
+    # sum of token lengths, in-row (no explode): exact integer
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mwl_milli = F.round(
+        F.lit(1000.0) * tok_chars / F.greatest(n_words, F.lit(1))
+    ).cast("long")
+    stop = _stop_count("en")
+    punct_milli = F.round(
+        F.lit(1000.0)
+        * F.regexp_count(F.col("text"), F.lit(r"[.,!?;:]"))
+        / F.greatest(n_chars, F.lit(1))
+    ).cast("long")
+    ttr_milli = F.round(
+        F.lit(1000.0)
+        * F.size(F.array_distinct(toks))
+        / F.greatest(n_words, F.lit(1))
+    ).cast("long")
+    r1 = ((n_words >= 25) & (n_words <= 90)).cast("int")
+    r2 = ((mwl_milli >= 3000) & (mwl_milli <= 10000)).cast("int")
+    r3 = (stop >= 2).cast("int")
+    r4 = (punct_milli <= 150).cast("int")
+    r5 = (ttr_milli > 200).cast("int")
+    first_fail = (
+        F.when(r1 == 0, F.lit("r1_len"))
+        .when(r2 == 0, F.lit("r2_wordlen"))
+        .when(r3 == 0, F.lit("r3_stop"))
+        .when(r4 == 0, F.lit("r4_punct"))
+        .when(r5 == 0, F.lit("r5_ttr"))
+        .otherwise(F.lit("pass"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r1.alias("r1_len"),
+        r2.alias("r2_wordlen"),
+        r3.alias("r3_stop"),
+        r4.alias("r4_punct"),
+        r5.alias("r5_ttr"),
+        first_fail.alias("first_fail"),
+        (r1 * r2 * r3 * r4 * r5).alias("passed"),
+    )

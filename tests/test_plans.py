@@ -80,6 +80,9 @@ def test_text_ops_have_no_python_nodes(spark):
         "pii_scrub",
         "url_canonicalize",
         "dup_passage_scrub",
+        "semdedup",
+        "unigram_logprob",
+        "quality_funnel",
     ):
         p = _plan(QUERIES[name](spark, SF), mode="simple")
         assert "EvalPython" not in p, f"{name} runs Python:\n{p}"
