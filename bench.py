@@ -120,6 +120,7 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "semdedup",
         "unigram_logprob",
         "quality_funnel",
+        "hybrid_rrf",
     ]
     for name in headline:
         t0 = time.monotonic()

@@ -43,6 +43,7 @@ from cdc_engine.multimodal import (
     sample_frames,
     synth_media_blobs,
 )
+from cdc_engine.retrieval import rrf_fuse
 from cdc_engine.sampling import dataset_splits, stratified_sample
 from cdc_engine.simsearch import (
     brute_topk,
@@ -932,6 +933,18 @@ def q_quality_funnel(spark, sf):
     return _p(quality_funnel(t(spark, sf, "documents")), "doc_id")
 
 
+def q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval (retrieval.rrf_fuse): reciprocal-rank fusion of
+    the BM25 lexical top-20 and the embedding brute-force semantic top-20
+    (query = the bm25 term set / vector 0), fused by exact integer
+    1e6//(60+rank) contributions — bit-identical cross-engine."""
+    docs = t(spark, sf, "documents")
+    emb = t(spark, sf, "embeddings")
+    lex = bm25_topk(docs, terms=["hash", "join", "stream", "vector", "window"], k=20)
+    sem = brute_topk(emb, query_vec_id=0, k=20)
+    return rrf_fuse(lex, sem, k=10, c=60)
+
+
 def q_semdedup(spark, sf):
     """SemDeDup-style semantic dedup screen [Abbas et al. 2023]: IVF-cell
     cluster assignment, then within each cell drop every vector whose
@@ -1773,6 +1786,59 @@ ORACLE_SQL: dict[str, str] = {
               FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q, range(1, 65) t(i)
               GROUP BY e.vec_id)
         SELECT vec_id, dot_q FROM d ORDER BY dot_q DESC, vec_id LIMIT 10
+    """,
+    "hybrid_rrf": f"""
+        WITH tokm AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+                FROM documents) WHERE w <> ''),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM tokm GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         CAST(SUM(dl) AS DOUBLE) AS sumdl FROM dl),
+        q AS (SELECT doc_id, w FROM tokm
+              WHERE w IN ('hash','join','stream','vector','window')),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM q GROUP BY doc_id, w),
+        dfc AS (SELECT w, COUNT(*) AS df
+                FROM (SELECT DISTINCT doc_id, w FROM q) GROUP BY w),
+        contrib AS (SELECT tf.doc_id,
+                           CAST(ROUND(
+                               ln((stats.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+                               * (tf.tf * (1.2 + 1.0))
+                               / (tf.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * dl.dl / (stats.sumdl / stats.n)))
+                               * 1000) AS BIGINT) AS s_milli
+                    FROM tf JOIN dfc USING (w)
+                    JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        lex AS (SELECT doc_id, CAST(SUM(s_milli) AS BIGINT) AS score_milli
+                FROM contrib GROUP BY doc_id
+                ORDER BY score_milli DESC, doc_id ASC LIMIT 20),
+        lr AS (SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC)
+                           AS INTEGER) AS lex_rank
+               FROM lex),
+        qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        d AS (SELECT e.vec_id, {_DOT_SQL.format(a='e.embedding', b='q.qe')} AS dot_q
+              FROM embeddings e, qv q, range(1, 65) t(i)
+              WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+        sem AS (SELECT vec_id, dot_q FROM d
+                ORDER BY dot_q DESC, vec_id ASC LIMIT 20),
+        sr AS (SELECT vec_id AS doc_id,
+                      CAST(row_number() OVER (ORDER BY dot_q DESC, vec_id ASC)
+                           AS INTEGER) AS sem_rank
+               FROM sem),
+        fused AS (SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
+                         CAST(COALESCE(lr.lex_rank, 0) AS INTEGER) AS lex_rank,
+                         CAST(COALESCE(sr.sem_rank, 0) AS INTEGER) AS sem_rank
+                  FROM lr FULL OUTER JOIN sr ON lr.doc_id = sr.doc_id)
+        SELECT doc_id, lex_rank, sem_rank,
+               CAST((CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank) ELSE 0 END)
+                    + (CASE WHEN sem_rank > 0 THEN 1000000 // (60 + sem_rank) ELSE 0 END)
+                    AS BIGINT) AS rrf_ppm
+        FROM fused
+        ORDER BY rrf_ppm DESC, doc_id ASC LIMIT 10
     """,
     "unigram_logprob": """
         WITH tokm AS (SELECT doc_id, w FROM
@@ -2622,6 +2688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,  # new in r5 (late): semantic dedup screen
     "unigram_logprob": q_unigram_logprob,  # new in r5 (late): LM quality proxy
     "quality_funnel": q_quality_funnel,  # new in r5 (late): Gopher rule funnel
+    "hybrid_rrf": q_hybrid_rrf,  # new in r5 (late): RRF hybrid retrieval
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
     "seq_packing": q_seq_packing,
@@ -2655,7 +2722,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "tpch_q3_topk": q_tpch_q3_topk,
     "tpch_q5_region": q_tpch_q5_region,
-    "rollup_pricing": q_rollup_pricing,
     "dedup_canonical_map": q_dedup_canonical_map,
     "edit_distance_rescore": q_edit_distance_rescore,
     "kmeans_refine": q_kmeans_refine,
@@ -2672,6 +2738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- deliberate tail under the 50-row driver cap (see header) --------
     "neardup_components": q_neardup_components,  # r04-green; displaced by semdedup
     "jaccard_on_lsh": q_jaccard_on_lsh,  # r04-green; displaced by unigram_logprob
+    "rollup_pricing": q_rollup_pricing,  # r04-green; displaced by hybrid_rrf
     "embedding_neardup_pairs": q_embedding_neardup_pairs,  # r04-green; displaced by quality_funnel
     "multimodal_features": q_multimodal_features,  # r04-green; displaced by bm25_topk
     "simhash_fingerprints": q_simhash_fingerprints,

@@ -83,6 +83,7 @@ def test_text_ops_have_no_python_nodes(spark):
         "semdedup",
         "unigram_logprob",
         "quality_funnel",
+        "hybrid_rrf",
     ):
         p = _plan(QUERIES[name](spark, SF), mode="simple")
         assert "EvalPython" not in p, f"{name} runs Python:\n{p}"
