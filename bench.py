@@ -121,6 +121,8 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "unigram_logprob",
         "quality_funnel",
         "hybrid_rrf",
+        "pq_encode",
+        "pq_adc_topk",
     ]
     for name in headline:
         t0 = time.monotonic()

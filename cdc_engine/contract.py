@@ -50,6 +50,8 @@ from cdc_engine.simsearch import (
     ivf_assign,
     ivf_query_topk,
     kmeans_refine,
+    pq_adc_topk,
+    pq_encode,
     semdedup,
     srp_bucket_sql,
     srp_buckets,
@@ -933,6 +935,21 @@ def q_quality_funnel(spark, sf):
     return _p(quality_funnel(t(spark, sf, "documents")), "doc_id")
 
 
+def q_pq_encode(spark, sf):
+    """Product-quantization codes (simsearch.pq_encode): 8 subspaces x 16
+    codewords, exact integer squared distances on milli-quantized
+    components — the 32x-compression encoding a 100 TB vector store
+    persists instead of raw floats."""
+    return _p(pq_encode(t(spark, sf, "embeddings"), m=8, dsub=8, k=16), "vec_id", "sub")
+
+
+def q_pq_adc_topk(spark, sf):
+    """Asymmetric-distance top-10 over PQ codes (simsearch.pq_adc_topk):
+    broadcast 128-row per-query LUT + code-only scan — reads 8 bytes per
+    vector instead of 256 at scale."""
+    return pq_adc_topk(t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
 def q_hybrid_rrf(spark, sf):
     """Hybrid retrieval (retrieval.rrf_fuse): reciprocal-rank fusion of
     the BM25 lexical top-20 and the embedding brute-force semantic top-20
@@ -1786,6 +1803,52 @@ ORACLE_SQL: dict[str, str] = {
               FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q, range(1, 65) t(i)
               GROUP BY e.vec_id)
         SELECT vec_id, dot_q FROM d ORDER BY dot_q DESC, vec_id LIMIT 10
+    """,
+    "pq_encode": """
+        WITH qe AS (SELECT vec_id,
+                           list_transform(embedding,
+                               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+                    FROM embeddings),
+        sv AS (SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
+                      list_slice(qe, t.sub * 8 + 1, t.sub * 8 + 8) AS v
+               FROM qe, range(0, 8) t(sub)),
+        cb AS (SELECT CAST(vec_id AS INTEGER) AS code, sub, v AS cw
+               FROM sv WHERE vec_id < 16),
+        dist AS (SELECT s.vec_id, s.sub, c.code,
+                        (SELECT CAST(SUM((s.v[i] - c.cw[i]) * (s.v[i] - c.cw[i])) AS BIGINT)
+                         FROM range(1, 9) t(i)) AS d
+                 FROM sv s JOIN cb c USING (sub))
+        SELECT vec_id, sub, code FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+          FROM dist)
+        WHERE rn = 1 ORDER BY vec_id, sub
+    """,
+    "pq_adc_topk": """
+        WITH qe AS (SELECT vec_id,
+                           list_transform(embedding,
+                               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+                    FROM embeddings),
+        sv AS (SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
+                      list_slice(qe, t.sub * 8 + 1, t.sub * 8 + 8) AS v
+               FROM qe, range(0, 8) t(sub)),
+        cb AS (SELECT CAST(vec_id AS INTEGER) AS code, sub, v AS cw
+               FROM sv WHERE vec_id < 16),
+        dist AS (SELECT s.vec_id, s.sub, c.code,
+                        (SELECT CAST(SUM((s.v[i] - c.cw[i]) * (s.v[i] - c.cw[i])) AS BIGINT)
+                         FROM range(1, 9) t(i)) AS d
+                 FROM sv s JOIN cb c USING (sub)),
+        enc AS (SELECT vec_id, sub, code FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+                  FROM dist)
+                WHERE rn = 1),
+        lut AS (SELECT c.sub, c.code,
+                       (SELECT CAST(SUM((q.v[i] - c.cw[i]) * (q.v[i] - c.cw[i])) AS BIGINT)
+                        FROM range(1, 9) t(i)) AS d
+                FROM cb c JOIN sv q ON q.sub = c.sub AND q.vec_id = 0)
+        SELECT e.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist_q
+        FROM enc e JOIN lut l USING (sub, code)
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id ORDER BY adc_dist_q ASC, e.vec_id ASC LIMIT 10
     """,
     "hybrid_rrf": f"""
         WITH tokm AS (
@@ -2689,6 +2752,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,  # new in r5 (late): LM quality proxy
     "quality_funnel": q_quality_funnel,  # new in r5 (late): Gopher rule funnel
     "hybrid_rrf": q_hybrid_rrf,  # new in r5 (late): RRF hybrid retrieval
+    "pq_encode": q_pq_encode,  # new in r5 (late): product-quantization codes
+    "pq_adc_topk": q_pq_adc_topk,  # new in r5 (late): ADC top-k over PQ codes
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
     "seq_packing": q_seq_packing,
@@ -2716,12 +2781,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_stats": q_epoch_stats,
     "union_schema_merge": q_union_schema_merge,
     "session_windows": q_session_windows,
-    "sliding_window_counts": q_sliding_window_counts,
     "json_props_extract": q_json_props_extract,
     "broadcast_dim_join": q_broadcast_dim_join,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "tpch_q3_topk": q_tpch_q3_topk,
-    "tpch_q5_region": q_tpch_q5_region,
     "dedup_canonical_map": q_dedup_canonical_map,
     "edit_distance_rescore": q_edit_distance_rescore,
     "kmeans_refine": q_kmeans_refine,
@@ -2739,6 +2802,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_components": q_neardup_components,  # r04-green; displaced by semdedup
     "jaccard_on_lsh": q_jaccard_on_lsh,  # r04-green; displaced by unigram_logprob
     "rollup_pricing": q_rollup_pricing,  # r04-green; displaced by hybrid_rrf
+    "sliding_window_counts": q_sliding_window_counts,  # r04-green; displaced by pq_encode
+    "tpch_q5_region": q_tpch_q5_region,  # r04-green; displaced by pq_adc_topk
     "embedding_neardup_pairs": q_embedding_neardup_pairs,  # r04-green; displaced by quality_funnel
     "multimodal_features": q_multimodal_features,  # r04-green; displaced by bm25_topk
     "simhash_fingerprints": q_simhash_fingerprints,

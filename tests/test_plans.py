@@ -84,6 +84,8 @@ def test_text_ops_have_no_python_nodes(spark):
         "unigram_logprob",
         "quality_funnel",
         "hybrid_rrf",
+        "pq_encode",
+        "pq_adc_topk",
     ):
         p = _plan(QUERIES[name](spark, SF), mode="simple")
         assert "EvalPython" not in p, f"{name} runs Python:\n{p}"
