@@ -123,6 +123,8 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "hybrid_rrf",
         "pq_encode",
         "pq_adc_topk",
+        "dup_ngram_share",
+        "corpus_shuffle",
     ]
     for name in headline:
         t0 = time.monotonic()

@@ -44,7 +44,7 @@ from cdc_engine.multimodal import (
     synth_media_blobs,
 )
 from cdc_engine.retrieval import rrf_fuse
-from cdc_engine.sampling import dataset_splits, stratified_sample
+from cdc_engine.sampling import corpus_shuffle, dataset_splits, stratified_sample
 from cdc_engine.simsearch import (
     brute_topk,
     ivf_assign,
@@ -60,6 +60,7 @@ from cdc_engine.textops import (
     STOPWORDS,
     bm25_topk,
     doc_fingerprint,
+    dup_ngram_share,
     lang_id,
     quality_funnel,
     quality_score,
@@ -935,6 +936,21 @@ def q_quality_funnel(spark, sf):
     return _p(quality_funnel(t(spark, sf, "documents")), "doc_id")
 
 
+def q_dup_ngram_share(spark, sf):
+    """Within-doc duplicated 3-gram share (textops.dup_ngram_share): the
+    Gopher repetition rule in its exact form — surplus gram occurrences
+    beyond each distinct gram's first; entirely in-row, zero shuffles."""
+    return _p(dup_ngram_share(t(spark, sf, "documents"), n=3), "doc_id")
+
+
+def q_corpus_shuffle(spark, sf):
+    """Deterministic distributed corpus shuffle (sampling.corpus_shuffle):
+    stable md5(seed:key)-ordered position 0..N-1 via the two-pass prefix
+    sum (256 hash buckets) — never a global single-task window; oracle is
+    the naive global row_number."""
+    return _p(corpus_shuffle(t(spark, sf, "documents"), seed="s0"), "doc_id")
+
+
 def q_pq_encode(spark, sf):
     """Product-quantization codes (simsearch.pq_encode): 8 subspaces x 16
     codewords, exact integer squared distances on milli-quantized
@@ -1803,6 +1819,33 @@ ORACLE_SQL: dict[str, str] = {
               FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q, range(1, 65) t(i)
               GROUP BY e.vec_id)
         SELECT vec_id, dot_q FROM d ORDER BY dot_q DESC, vec_id LIMIT 10
+    """,
+    "dup_ngram_share": """
+        WITH b AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(1, len(toks) - 3 + 2),
+                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                          ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM b)
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup,
+               CASE WHEN len(grams) > 0
+                    THEN CAST(ROUND(1000.0 * (len(grams) - len(list_distinct(grams)))
+                                    / len(grams)) AS BIGINT)
+                    END AS dup_milli
+        FROM g ORDER BY doc_id
+    """,
+    "corpus_shuffle": """
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                        ORDER BY md5('s0:' || CAST(doc_id AS VARCHAR)), doc_id)
+                    - 1 AS BIGINT) AS pos
+        FROM documents ORDER BY doc_id
     """,
     "pq_encode": """
         WITH qe AS (SELECT vec_id,
@@ -2754,6 +2797,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": q_hybrid_rrf,  # new in r5 (late): RRF hybrid retrieval
     "pq_encode": q_pq_encode,  # new in r5 (late): product-quantization codes
     "pq_adc_topk": q_pq_adc_topk,  # new in r5 (late): ADC top-k over PQ codes
+    "dup_ngram_share": q_dup_ngram_share,  # new in r5 (late): Gopher repetition rule
+    "corpus_shuffle": q_corpus_shuffle,  # new in r5 (late): distributed shuffle order
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
     "seq_packing": q_seq_packing,
@@ -2780,8 +2825,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ledger_anti_join": q_ledger_anti_join,
     "epoch_stats": q_epoch_stats,
     "union_schema_merge": q_union_schema_merge,
-    "session_windows": q_session_windows,
-    "json_props_extract": q_json_props_extract,
     "broadcast_dim_join": q_broadcast_dim_join,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "tpch_q3_topk": q_tpch_q3_topk,
@@ -2804,6 +2847,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_pricing": q_rollup_pricing,  # r04-green; displaced by hybrid_rrf
     "sliding_window_counts": q_sliding_window_counts,  # r04-green; displaced by pq_encode
     "tpch_q5_region": q_tpch_q5_region,  # r04-green; displaced by pq_adc_topk
+    "session_windows": q_session_windows,  # r04-green; displaced by dup_ngram_share
+    "json_props_extract": q_json_props_extract,  # r04-green; displaced by corpus_shuffle
     "embedding_neardup_pairs": q_embedding_neardup_pairs,  # r04-green; displaced by quality_funnel
     "multimodal_features": q_multimodal_features,  # r04-green; displaced by bm25_topk
     "simhash_fingerprints": q_simhash_fingerprints,

@@ -205,3 +205,43 @@ def stratified_topn(
         .where(F.col("rank") <= n)
         .select(stratum, key, "rank")
     )
+
+
+def corpus_shuffle(
+    docs: DataFrame, seed: str = "s0", key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-data ordering
+    step: every row gets a stable position 0..N-1 in md5(seed:key) order,
+    reproducible run-to-run and engine-to-engine (no RNG state; reshuffle
+    = change the seed string).
+
+    The naive formulation is row_number() over a GLOBAL order — a
+    single-task window at 100 TB. This is the same two-pass distributed
+    prefix sum as pack_sequences: bucket by the hash's first byte
+    (256 contiguous hash ranges), count per bucket, cumsum the tiny
+    256-row offsets relation, then each bucket computes its intra-bucket
+    rank in parallel (window partitioned by bucket) and adds its offset.
+    The only global ordering lives in the 256-row relation; everything
+    wide is keyed on the bucket — at any scale the plan is one hash agg,
+    one broadcast, one partitioned sort."""
+    from pyspark.sql import Window
+
+    hkey = F.md5(F.concat(F.lit(seed + ":"), F.col(key).cast("string")))
+    base = docs.select(
+        F.col(key),
+        hkey.alias("hk"),
+        F.conv(F.substring(hkey, 1, 2), 16, 10).cast("long").alias("hb"),
+    )
+    counts = base.groupBy("hb").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "hb", F.coalesce(F.sum("n").over(w_off), F.lit(0)).cast("long").alias("off")
+    )
+    w_in = Window.partitionBy("hb").orderBy("hk", key)
+    return (
+        base.join(F.broadcast(offsets), "hb")
+        .select(
+            F.col(key),
+            (F.col("off") + F.row_number().over(w_in) - 1).cast("long").alias("pos"),
+        )
+    )

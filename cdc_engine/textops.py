@@ -669,3 +669,38 @@ def quality_funnel(docs: DataFrame) -> DataFrame:
         first_fail.alias("first_fail"),
         (r1 * r2 * r3 * r4 * r5).alias("passed"),
     )
+
+
+def dup_ngram_share(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document duplicated n-gram fraction — the actual Gopher
+    repetition rule [Rae et al. 2021 §A1.1] that quality_funnel's TTR
+    gate approximates: share of the doc's n-gram occurrences that are
+    SURPLUS repeats — occurrences beyond each distinct gram's first
+    (n_dup = total - distinct, the Dolma-style duplicate-n-gram
+    fraction). Returns (doc_id, n_grams, n_dup, dup_milli); docs shorter
+    than n tokens report 0 grams and a NULL share.
+
+    Entirely in-row (transform over a sequence of slice positions +
+    array_distinct) — zero shuffles, zero joins; work ∝ doc length x n.
+    Exact string grams, exact integer counts — bit-identical in DuckDB."""
+    toks = tokens_expr()
+    n_tok = F.size(toks)
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    n_grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    n_dup = (n_grams - n_distinct).cast("long")
+    return docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_dup.alias("n_dup"),
+        F.when(
+            n_grams > 0,
+            F.round(F.lit(1000.0) * n_dup / n_grams).cast("long"),
+        ).alias("dup_milli"),
+    )

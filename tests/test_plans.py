@@ -86,6 +86,8 @@ def test_text_ops_have_no_python_nodes(spark):
         "hybrid_rrf",
         "pq_encode",
         "pq_adc_topk",
+        "dup_ngram_share",
+        "corpus_shuffle",
     ):
         p = _plan(QUERIES[name](spark, SF), mode="simple")
         assert "EvalPython" not in p, f"{name} runs Python:\n{p}"
