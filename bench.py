@@ -125,6 +125,7 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "pq_adc_topk",
         "dup_ngram_share",
         "corpus_shuffle",
+        "cms_heavy_hitters",
     ]
     for name in headline:
         t0 = time.monotonic()

@@ -44,6 +44,7 @@ from cdc_engine.multimodal import (
     synth_media_blobs,
 )
 from cdc_engine.retrieval import rrf_fuse
+from cdc_engine.sketch import cms_heavy_hitters
 from cdc_engine.sampling import corpus_shuffle, dataset_splits, stratified_sample
 from cdc_engine.simsearch import (
     brute_topk,
@@ -936,6 +937,14 @@ def q_quality_funnel(spark, sf):
     return _p(quality_funnel(t(spark, sf, "documents")), "doc_id")
 
 
+def q_cms_heavy_hitters(spark, sf):
+    """Count-Min-Sketch heavy hitters (sketch.cms_heavy_hitters): 4x64
+    md5-derived counters — fixed memory regardless of key cardinality —
+    probed for the exact top-20 users; est >= exact one-sided guarantee
+    holds per row and the whole sketch is bit-reproducible in DuckDB."""
+    return _p(cms_heavy_hitters(t(spark, sf, "events"), "user_id", d=4, w=64, k=20), "key")
+
+
 def q_dup_ngram_share(spark, sf):
     """Within-doc duplicated 3-gram share (textops.dup_ngram_share): the
     Gopher repetition rule in its exact form — surplus gram occurrences
@@ -1819,6 +1828,27 @@ ORACLE_SQL: dict[str, str] = {
               FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q, range(1, 65) t(i)
               GROUP BY e.vec_id)
         SELECT vec_id, dot_q FROM d ORDER BY dot_q DESC, vec_id LIMIT 10
+    """,
+    "cms_heavy_hitters": """
+        WITH cells AS (SELECT t.j,
+                              ('0x' || substring(md5(CAST(t.j AS VARCHAR) || ':'
+                                  || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS col
+                       FROM events, range(0, 4) t(j)),
+        counters AS (SELECT j, col, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM cells GROUP BY j, col),
+        top AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS exact_n
+                FROM events GROUP BY user_id
+                ORDER BY exact_n DESC, key ASC LIMIT 20),
+        probes AS (SELECT key, exact_n, t.j,
+                          ('0x' || substring(md5(CAST(t.j AS VARCHAR) || ':'
+                              || CAST(key AS VARCHAR)), 1, 8))::BIGINT % 64 AS col
+                   FROM top, range(0, 4) t(j)),
+        est AS (SELECT key, exact_n, CAST(MIN(c.n) AS BIGINT) AS cms_est
+                FROM probes p JOIN counters c USING (j, col)
+                GROUP BY key, exact_n)
+        SELECT key, exact_n, cms_est,
+               CAST(cms_est - exact_n AS BIGINT) AS overcount
+        FROM est ORDER BY key
     """,
     "dup_ngram_share": """
         WITH b AS (SELECT doc_id,
@@ -2799,6 +2829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_adc_topk": q_pq_adc_topk,  # new in r5 (late): ADC top-k over PQ codes
     "dup_ngram_share": q_dup_ngram_share,  # new in r5 (late): Gopher repetition rule
     "corpus_shuffle": q_corpus_shuffle,  # new in r5 (late): distributed shuffle order
+    "cms_heavy_hitters": q_cms_heavy_hitters,  # new in r5 (late): count-min sketch
     "scd2_history": q_scd2_history,
     "contamination_check": q_contamination_check,
     "seq_packing": q_seq_packing,
@@ -2828,7 +2859,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "broadcast_dim_join": q_broadcast_dim_join,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "tpch_q3_topk": q_tpch_q3_topk,
-    "dedup_canonical_map": q_dedup_canonical_map,
     "edit_distance_rescore": q_edit_distance_rescore,
     "kmeans_refine": q_kmeans_refine,
     "ann_ivf_query_topk": q_ann_ivf_query_topk,
@@ -2849,6 +2879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5_region": q_tpch_q5_region,  # r04-green; displaced by pq_adc_topk
     "session_windows": q_session_windows,  # r04-green; displaced by dup_ngram_share
     "json_props_extract": q_json_props_extract,  # r04-green; displaced by corpus_shuffle
+    "dedup_canonical_map": q_dedup_canonical_map,  # r04-green; displaced by cms_heavy_hitters
     "embedding_neardup_pairs": q_embedding_neardup_pairs,  # r04-green; displaced by quality_funnel
     "multimodal_features": q_multimodal_features,  # r04-green; displaced by bm25_topk
     "simhash_fingerprints": q_simhash_fingerprints,

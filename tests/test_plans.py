@@ -88,6 +88,7 @@ def test_text_ops_have_no_python_nodes(spark):
         "pq_adc_topk",
         "dup_ngram_share",
         "corpus_shuffle",
+        "cms_heavy_hitters",
     ):
         p = _plan(QUERIES[name](spark, SF), mode="simple")
         assert "EvalPython" not in p, f"{name} runs Python:\n{p}"
