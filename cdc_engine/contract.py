@@ -2805,6 +2805,19 @@ ORACLE_SQL["url_canonicalize"] = (
 #   * multimodal_blob_meta — multimodal_features (real decode) +
 #                           multimodal_frame_sample keep the family;
 #                           blob_meta is its narrow metadata projection
+# Late-round-5 displacements (all r04-green, each with an in-window
+# coverage stand-in):
+#   * neardup_components  — components stay pytest-covered (test_components);
+#                           edit_distance_rescore runs the LSH chain in-window
+#   * jaccard_on_lsh      — same chain via edit_distance_rescore
+#   * rollup_pricing      — cube_pricing (in-window) keeps grouping sets
+#   * sliding_window_counts / session_windows — event-time windowing;
+#                           time_bucket_hourly family, rotate back in r06
+#   * tpch_q5_region      — tpch_q3_topk keeps the multi-join SMJ shape
+#   * json_props_extract  — scalar extraction family (scalar_url_extract note)
+#   * dedup_canonical_map — distinct_exact + dedup survivorship in CLI tests
+#   * embedding_neardup_pairs — semdedup (NEW, in-window) keeps embedding
+#                           near-dup screening
 # All queries (window + tail) remain covered by the local dtype-sensitive DuckDB mirror
 # (tests/test_contract.py) regardless of the driver cap.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
