@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cdc_engine.dedup import lww_dedup
 from cdc_engine.dedup_text import (
+    delta_lsh_candidates,
     doc_tokens,
     exact_dedup_canonical,
     exact_dedup_stats,
@@ -45,7 +46,12 @@ from cdc_engine.multimodal import (
 )
 from cdc_engine.retrieval import rrf_fuse
 from cdc_engine.sketch import cms_heavy_hitters
-from cdc_engine.sampling import corpus_shuffle, dataset_splits, stratified_sample
+from cdc_engine.sampling import (
+    corpus_shuffle,
+    dataset_splits,
+    permille_bucket,
+    stratified_sample,
+)
 from cdc_engine.simsearch import (
     brute_topk,
     ivf_assign,
@@ -616,6 +622,24 @@ def q_minhash_signatures(spark, sf):
 
 def q_lsh_candidates(spark, sf):
     return _p(lsh_candidate_pairs(t(spark, sf, "documents"), k=8, band_rows=2), "da", "db")
+
+
+def q_dedup_delta(spark, sf):
+    """Incremental near-dup: the per-mille 'epoch:' split models a CDC
+    batch (top 20% of the hash range = this epoch's new docs); candidates
+    are delta-only — new×index plus new×new, old×old never revisited. The
+    oracle runs the FULL-corpus LSH chain and filters to ≥1-new pairs,
+    proving the incremental pair set equals the batch recompute."""
+    docs = t(spark, sf, "documents")
+    b = permille_bucket(F.col("doc_id"), "epoch:")
+    pairs = delta_lsh_candidates(
+        docs.where(b < 800), docs.where(b >= 800), k=8, band_rows=2
+    )
+    n_new = (
+        (permille_bucket(F.col("da"), "epoch:") >= 800).cast("int")
+        + (permille_bucket(F.col("db"), "epoch:") >= 800).cast("int")
+    ).cast("int")
+    return _p(pairs.select("da", "db", n_new.alias("n_new")), "da", "db")
 
 
 def q_simsearch_brute_topk(spark, sf):
@@ -1780,6 +1804,18 @@ ORACLE_SQL: dict[str, str] = {
         WITH {{LSH}}
         SELECT da, db FROM cand ORDER BY da, db
     """,
+    # full-corpus chain + >=1-new filter == the incremental new×index ∪
+    # new×new pair set (signatures are per-doc, corpus-independent)
+    "dedup_delta": """
+        WITH {LSH}
+        SELECT da, db,
+               CAST((CASE WHEN ('0x' || substring(md5('epoch:' || CAST(da AS VARCHAR)), 1, 12))::BIGINT % 1000 >= 800 THEN 1 ELSE 0 END)
+                  + (CASE WHEN ('0x' || substring(md5('epoch:' || CAST(db AS VARCHAR)), 1, 12))::BIGINT % 1000 >= 800 THEN 1 ELSE 0 END) AS INTEGER) AS n_new
+        FROM cand
+        WHERE ('0x' || substring(md5('epoch:' || CAST(da AS VARCHAR)), 1, 12))::BIGINT % 1000 >= 800
+           OR ('0x' || substring(md5('epoch:' || CAST(db AS VARCHAR)), 1, 12))::BIGINT % 1000 >= 800
+        ORDER BY da, db
+    """,
     "jaccard_on_lsh": f"""
         WITH {{LSH}},
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
@@ -2738,7 +2774,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
-for _k in ("lsh_candidates", "jaccard_on_lsh", "edit_distance_rescore", "neardup_components"):
+for _k in ("lsh_candidates", "dedup_delta", "jaccard_on_lsh", "edit_distance_rescore", "neardup_components"):
     ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{LSH}", _LSH_CTES)
 
 from cdc_engine.textops import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE  # noqa: E402
@@ -2915,4 +2951,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_prior_click": q_asof_prior_click,
     "vocab_df_topk": q_vocab_df_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
+    "dedup_delta": q_dedup_delta,
 }

@@ -142,15 +142,17 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     docs: DataFrame, k: int = 8, band_rows: int = 2, tok: DataFrame | None = None
 ) -> DataFrame:
-    """LSH: band the k-row signature into k/band_rows bands; docs sharing
-    ANY band bucket are candidates. The join is on (band, band_key) —
-    never all-pairs. Returns distinct (da, db). ``tok`` forwards a shared
-    token relation to the signature stage (see minhash_signatures)."""
+    """(doc_id, band, band_key): the LSH INDEX relation — k/band_rows rows
+    per doc, each band's key the md5 of its signature rows in i order.
+    A signature is a pure per-doc function (independent of what else is in
+    the corpus), so this relation is incrementally maintainable: persist
+    it as a lake table and APPEND each epoch's new docs — the foundation
+    of delta_lsh_candidates."""
     sig = minhash_signatures(docs, k, tok=tok)
-    banded = (
+    return (
         # floor, not cast: DuckDB CAST(double AS INT) rounds, Spark truncates
         sig.withColumn("band", F.floor(F.col("i") / band_rows).cast("int"))
         .groupBy("doc_id", "band")
@@ -166,6 +168,16 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 8, band_rows: int = 2, tok: DataFrame | None = None
+) -> DataFrame:
+    """LSH: band the k-row signature into k/band_rows bands; docs sharing
+    ANY band bucket are candidates. The join is on (band, band_key) —
+    never all-pairs. Returns distinct (da, db). ``tok`` forwards a shared
+    token relation to the signature stage (see minhash_signatures)."""
+    banded = banded_signatures(docs, k, band_rows, tok=tok)
     # explosion-aware repartition: the banded relation is BYTE-small (md5
     # band keys compress to a few MB), so AQE's byte-based partition
     # coalescing collapses the self-join to ONE task — but the join's
@@ -187,6 +199,53 @@ def lsh_candidate_pairs(
         .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
         .distinct()
     )
+
+
+def delta_lsh_candidates(
+    old_docs: DataFrame, new_docs: DataFrame, k: int = 8, band_rows: int = 2
+) -> DataFrame:
+    """Incremental near-dup: candidate pairs involving AT LEAST ONE doc
+    from the NEW batch — the dedup step a CDC ingest actually runs per
+    epoch, instead of re-scoring the whole corpus.
+
+    Scale shape: the old side's banded signatures are an INDEX the
+    pipeline maintains (banded_signatures is per-doc, so the index table
+    just appends each epoch — no recompute); the per-epoch work is
+      * new × index: equi-join on (band, band_key) — the new side is
+        epoch-sized, so at 100 TB this broadcasts the epoch against a
+        bucket-pruned index scan, work ∝ |epoch| × bucket occupancy;
+      * new × new: self-join of the epoch-sized banded relation.
+    Old × old pairs are NEVER revisited — that is the entire point. The
+    pair set is exactly `lsh_candidate_pairs(old ∪ new)` restricted to
+    pairs with ≥1 new side (signatures are corpus-independent), which is
+    what the oracle checks.
+
+    Returns distinct (da, db) with da < db, orientation-normalized so the
+    output is comparable with the full-corpus chain."""
+    bo = banded_signatures(old_docs, k, band_rows)
+    bn = banded_signatures(new_docs, k, band_rows)
+    # same explosion-aware width pinning as lsh_candidate_pairs: the
+    # banded relations are byte-small but the join OUTPUT explodes
+    par = bo.sparkSession.sparkContext.defaultParallelism
+    bo = bo.repartition(par, "band", "band_key")
+    bn = bn.repartition(par, "band", "band_key")
+    x, y = bn.alias("x"), bo.alias("y")
+    new_old = x.join(
+        y,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.band_key") == F.col("y.band_key")),
+    ).select(
+        F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("da"),
+        F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("db"),
+    )
+    n1, n2 = bn.alias("n1"), bn.alias("n2")
+    new_new = n1.join(
+        n2,
+        (F.col("n1.band") == F.col("n2.band"))
+        & (F.col("n1.band_key") == F.col("n2.band_key"))
+        & (F.col("n1.doc_id") < F.col("n2.doc_id")),
+    ).select(F.col("n1.doc_id").alias("da"), F.col("n2.doc_id").alias("db"))
+    return new_old.unionByName(new_new).distinct()
 
 
 def jaccard_on_lsh(

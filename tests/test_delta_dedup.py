@@ -1,0 +1,60 @@
+"""delta_lsh_candidates: the incremental (per-epoch) near-dup candidate
+set must equal the full-corpus recompute restricted to pairs touching the
+new batch — the invariant that makes index-maintenance dedup safe to run
+epoch-by-epoch instead of re-scoring the corpus."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_engine.dedup_text import banded_signatures, delta_lsh_candidates, lsh_candidate_pairs
+from cdc_engine.sampling import permille_bucket
+
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_delta_equals_full_chain_filtered(spark):
+    docs = _docs(spark)
+    b = permille_bucket(F.col("doc_id"), "epoch:")
+    old, new = docs.where(b < 800), docs.where(b >= 800)
+
+    got = {(r.da, r.db) for r in delta_lsh_candidates(old, new).collect()}
+
+    is_new = lambda c: permille_bucket(F.col(c), "epoch:") >= 800
+    full = {
+        ((r.da, r.db), bool(r.touches_new))
+        for r in lsh_candidate_pairs(docs)
+        .select("da", "db", (is_new("da") | is_new("db")).alias("touches_new"))
+        .collect()
+    }
+    want = {p for p, tn in full if tn}
+    old_only = {p for p, tn in full if not tn}
+    assert got == want and got, (len(got), len(want))
+    # old×old pairs must be absent — the entire point of the delta form
+    assert not (got & old_only)
+
+
+def test_index_is_append_only(spark):
+    """banded_signatures of a subset equals the full relation filtered to
+    that subset: a doc's band keys don't depend on the rest of the corpus,
+    so the production index table can APPEND each epoch's rows and never
+    recompute old docs."""
+    docs = _docs(spark)
+    b = permille_bucket(F.col("doc_id"), "epoch:")
+    new = docs.where(b >= 800)
+    sub = {
+        (r.doc_id, r.band, r.band_key) for r in banded_signatures(new).collect()
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    full = {
+        (r.doc_id, r.band, r.band_key)
+        for r in banded_signatures(docs).collect()
+        if r.doc_id in new_ids
+    }
+    assert sub == full and sub

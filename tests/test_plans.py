@@ -108,7 +108,7 @@ def test_neardup_blocking_is_equi_join(spark):
     candidate-generate via an EQUI join on the probe/bucket/band key — a
     cartesian/broadcast-nested-loop node would mean the blocking silently
     degenerated to all-pairs."""
-    for name in ("embedding_neardup_pairs", "simhash_candidates"):
+    for name in ("embedding_neardup_pairs", "simhash_candidates", "dedup_delta"):
         p = _plan(QUERIES[name](spark, SF), mode="simple")
         assert "CartesianProduct" not in p, (name, p)
         assert "BroadcastNestedLoopJoin" not in p, (name, p)
