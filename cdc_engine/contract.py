@@ -66,6 +66,7 @@ from cdc_engine.simsearch import (
 from cdc_engine.textops import (
     STOPWORDS,
     bm25_topk,
+    classifier_scores,
     doc_fingerprint,
     dup_ngram_share,
     lang_id,
@@ -622,6 +623,10 @@ def q_minhash_signatures(spark, sf):
 
 def q_lsh_candidates(spark, sf):
     return _p(lsh_candidate_pairs(t(spark, sf, "documents"), k=8, band_rows=2), "da", "db")
+
+
+def q_classifier_scores(spark, sf):
+    return _p(classifier_scores(t(spark, sf, "documents")), "doc_id")
 
 
 def q_dedup_delta(spark, sf):
@@ -1804,6 +1809,25 @@ ORACLE_SQL: dict[str, str] = {
         WITH {{LSH}}
         SELECT da, db FROM cand ORDER BY da, db
     """,
+    # hashing-trick linear inference: weight table = range CTE, bag-of-words
+    # multiset features (non-distinct tok), all-integer score
+    "classifier_scores": """
+        WITH w AS (SELECT CAST(i AS INTEGER) AS j,
+                          CAST(('0x' || substring(md5('w:' || CAST(i AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000 AS BIGINT) AS wt
+                   FROM range(0, 256) t(i)),
+        tokm AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tk
+                 FROM documents),
+        feat AS (SELECT doc_id,
+                        CAST(('0x' || substring(md5(tk), 1, 12))::BIGINT % 256 AS INTEGER) AS j
+                 FROM tokm)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(wt) AS BIGINT) AS score_sum,
+               CASE WHEN CAST(SUM(wt) AS BIGINT) >= 0 THEN 'keep' ELSE 'drop' END AS label
+        FROM feat JOIN w USING (j)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
     # full-corpus chain + >=1-new filter == the incremental new×index ∪
     # new×new pair set (signatures are per-doc, corpus-independent)
     "dedup_delta": """
@@ -2952,4 +2976,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_df_topk": q_vocab_df_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "dedup_delta": q_dedup_delta,
+    "classifier_scores": q_classifier_scores,
 }

@@ -704,3 +704,65 @@ def dup_ngram_share(docs: DataFrame, n: int = 3) -> DataFrame:
             F.round(F.lit(1000.0) * n_dup / n_grams).cast("long"),
         ).alias("dup_milli"),
     )
+
+
+def classifier_scores(docs: DataFrame, d_buckets: int = 256) -> DataFrame:
+    """Hashing-trick linear classifier inference — the shape of every
+    fasttext-style quality/toxicity filter a pre-training pipeline runs
+    over the full corpus [Joulin et al. 2017].
+
+    The model is a FIXED-size weight vector over d_buckets hashed token
+    features (the hashing trick: vocab-independent memory), realized as a
+    d_buckets-row RELATION and broadcast — at 100 TB inference is a
+    narrow token explode, a broadcast hash join against the weight table,
+    and one map-side-combinable per-doc sum: no shuffle of anything
+    corpus-sized except the per-doc aggregate itself. Weights here are
+    md5-derived integers in [-1000, 1000] (a stand-in for trained
+    weights with the same plan shape — deterministic, so the DuckDB
+    oracle reproduces inference bit-for-bit; a real model would load its
+    weight table from parquet instead, identical plan).
+
+    Returns (doc_id, n_tokens, score_sum, label): bag-of-words multiset
+    features, integer score end-to-end (no doubles anywhere), label =
+    keep iff score_sum >= 0."""
+    spark = docs.sparkSession
+    weights = spark.range(d_buckets).select(
+        F.col("id").cast("int").alias("j"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 12),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2001),
+            )
+            - 1000
+        ).cast("long").alias("wt"),
+    )
+    feat = docs.select(
+        "doc_id",
+        F.explode(tokens_expr()).alias("w"),
+    ).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("w")), 1, 12), 16, 10).cast("long"),
+            F.lit(d_buckets),
+        ).cast("int").alias("j"),
+    )
+    return (
+        feat.join(F.broadcast(weights), "j")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("wt").cast("long").alias("score_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_sum",
+            F.when(F.col("score_sum") >= 0, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+    )

@@ -89,6 +89,7 @@ def test_text_ops_have_no_python_nodes(spark):
         "dup_ngram_share",
         "corpus_shuffle",
         "cms_heavy_hitters",
+        "classifier_scores",
     ):
         p = _plan(QUERIES[name](spark, SF), mode="simple")
         assert "EvalPython" not in p, f"{name} runs Python:\n{p}"
@@ -112,6 +113,15 @@ def test_neardup_blocking_is_equi_join(spark):
         p = _plan(QUERIES[name](spark, SF), mode="simple")
         assert "CartesianProduct" not in p, (name, p)
         assert "BroadcastNestedLoopJoin" not in p, (name, p)
+
+
+def test_classifier_weights_broadcast(spark):
+    """The hashed weight table is the model — it must reach the token
+    relation as a BroadcastHashJoin (a shuffled join on the feature id
+    would move the corpus-sized token relation for a 256-row dim)."""
+    p = _plan(QUERIES["classifier_scores"](spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_jaccard_chain_reuses_tokenization(spark):
