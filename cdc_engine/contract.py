@@ -629,6 +629,26 @@ def q_classifier_scores(spark, sf):
     return _p(classifier_scores(t(spark, sf, "documents")), "doc_id")
 
 
+def q_bigram_lm_stats(spark, sf):
+    from cdc_engine.textops import bigram_kn_stats
+
+    return bigram_kn_stats(t(spark, sf, "documents"), k=30)
+
+
+def q_neardup_survivors(spark, sf):
+    """Quality-aware survivorship composed over the full near-dup chain:
+    LSH candidates -> Levenshtein rescore -> O(log n) components -> keep
+    the LONGEST member per component (ties -> min doc_id)."""
+    from cdc_engine.dedup_text import connected_components, quality_survivors
+
+    labels = connected_components(
+        q_edit_distance_rescore(spark, sf), src="da", dst="db"
+    )
+    return _p(
+        quality_survivors(labels, t(spark, sf, "documents")), "node"
+    )
+
+
 def q_dedup_delta(spark, sf):
     """Incremental near-dup: the per-mille 'epoch:' split models a CDC
     batch (top 20% of the hash range = this epoch's new docs); candidates
@@ -1809,6 +1829,42 @@ ORACLE_SQL: dict[str, str] = {
         WITH {{LSH}}
         SELECT da, db FROM cand ORDER BY da, db
     """,
+    # Kneser-Ney bigram statistics: parallel-unnest zip = Spark's in-row
+    # position transform; both KN stats re-aggregate the counts relation
+    "bigram_lm_stats": """
+        WITH b AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                   FROM documents),
+        bg AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN list_slice(toks, 1, len(toks) - 1) ELSE [] END) AS w1,
+                      unnest(CASE WHEN len(toks) >= 2 THEN list_slice(toks, 2, len(toks)) ELSE [] END) AS w2
+               FROM b),
+        counts AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+        lefts AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_w1 FROM counts GROUP BY 1),
+        conts AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_cont FROM counts GROUP BY 1),
+        top AS (SELECT w1, w2, n FROM counts ORDER BY n DESC, w1, w2 LIMIT 30)
+        SELECT t.w1, t.w2, t.n, l.n_w1, c.n_cont
+        FROM top t JOIN lefts l USING (w1) JOIN conts c USING (w2)
+        ORDER BY t.n DESC, t.w1, t.w2
+    """,
+    # components + per-component argmax(n_chars, min doc_id) survivor
+    "neardup_survivors": """
+        WITH RECURSIVE {LSH},
+        pre AS (SELECT doc_id, substring(text, 1, 64) AS p FROM documents),
+        edge AS (SELECT c.da, c.db
+                 FROM cand c JOIN pre a ON c.da = a.doc_id JOIN pre b ON c.db = b.doc_id
+                 WHERE levenshtein(a.p, b.p) <= 16),
+        und AS (SELECT da AS a, db AS b FROM edge UNION SELECT db AS a, da AS b FROM edge),
+        reach(s, n) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT r.s, u.b FROM reach r JOIN und u ON r.n = u.a
+        ),
+        comp AS (SELECT s AS node, MIN(n) AS component FROM reach GROUP BY s)
+        SELECT c.node, c.component, d.n_chars,
+               (row_number() OVER (PARTITION BY c.component
+                                   ORDER BY d.n_chars DESC, c.node ASC) = 1) AS is_survivor
+        FROM comp c JOIN documents d ON c.node = d.doc_id
+        ORDER BY c.node
+    """,
     # hashing-trick linear inference: weight table = range CTE, bag-of-words
     # multiset features (non-distinct tok), all-integer score
     "classifier_scores": """
@@ -2798,7 +2854,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
-for _k in ("lsh_candidates", "dedup_delta", "jaccard_on_lsh", "edit_distance_rescore", "neardup_components"):
+for _k in ("lsh_candidates", "dedup_delta", "jaccard_on_lsh", "edit_distance_rescore", "neardup_components", "neardup_survivors"):
     ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{LSH}", _LSH_CTES)
 
 from cdc_engine.textops import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE  # noqa: E402
@@ -2977,4 +3033,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_assign": q_ann_ivf_assign,
     "dedup_delta": q_dedup_delta,
     "classifier_scores": q_classifier_scores,
+    "bigram_lm_stats": q_bigram_lm_stats,
+    "neardup_survivors": q_neardup_survivors,
 }

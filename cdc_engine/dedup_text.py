@@ -649,3 +649,29 @@ def dup_passage_stats(docs: DataFrame, col: str = "text", k: int = 8) -> DataFra
             )
         ).alias("scrub_hash"),
     )
+
+
+def quality_survivors(labels: DataFrame, docs: DataFrame) -> DataFrame:
+    """Quality-aware survivorship over near-dup components: per component
+    keep the LONGEST member (ties → smallest doc_id) instead of the
+    arbitrary min-id — the policy real corpus curation wants (the longest
+    near-duplicate is usually the least-truncated crawl of the page).
+
+    ``labels`` is connected_components output (node, component); one
+    window shuffle keyed on the component — the same exchange shape as
+    LWW dedup, nothing pairwise. Returns
+    (node, component, n_chars, is_survivor)."""
+    from pyspark.sql import Window
+
+    j = labels.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("node").asc()
+    )
+    return j.select(
+        "node",
+        "component",
+        "n_chars",
+        (F.row_number().over(w) == F.lit(1)).alias("is_survivor"),
+    )

@@ -766,3 +766,41 @@ def classifier_scores(docs: DataFrame, d_buckets: int = 256) -> DataFrame:
             .alias("label"),
         )
     )
+
+
+def bigram_kn_stats(docs: DataFrame, k: int = 30) -> DataFrame:
+    """Top-k corpus bigrams with the Kneser-Ney training statistics a
+    KenLM-style n-gram LM build needs per bigram [Heafield 2011]: the
+    bigram count n, the left-context mass n_w1 (total bigrams starting
+    with w1 — the KN denominator), and the continuation count n_cont
+    (DISTINCT left contexts of w2 — the KN lower-order numerator).
+
+    Scale shape: bigram enumeration is in-row (transform over positions,
+    zero joins), the corpus-sized exchange is ONE map-side-combinable
+    hash aggregate onto (w1, w2); both KN statistics are re-aggregations
+    of that vocab²-bounded counts relation, never of the corpus; the
+    top-k joins are k-row against keyed aggregates. Exact integer counts,
+    total (n DESC, w1, w2) order → bit-stable top-k cross-engine."""
+    toks = tokens_expr()
+    n_tok = F.size(toks)
+    grams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+    bg = docs.select(F.explode(grams).alias("g")).select("g.w1", "g.w2")
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "w1", "w2").limit(k)
+    lefts = counts.groupBy("w1").agg(F.sum("n").cast("long").alias("n_w1"))
+    conts = counts.groupBy("w2").agg(F.count("*").cast("long").alias("n_cont"))
+    return (
+        top.join(lefts, "w1")
+        .join(conts, "w2")
+        .select("w1", "w2", "n", "n_w1", "n_cont")
+        .orderBy(F.col("n").desc(), "w1", "w2")
+    )

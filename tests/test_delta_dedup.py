@@ -58,3 +58,20 @@ def test_index_is_append_only(spark):
         if r.doc_id in new_ids
     }
     assert sub == full and sub
+
+
+def test_quality_survivor_policy(spark):
+    """Longest member wins; ties break to the smallest doc_id; every
+    component has exactly one survivor."""
+    from cdc_engine.dedup_text import quality_survivors
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "node long, component long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (10, 50), (11, 50)],
+        "doc_id long, n_chars long",
+    )
+    rows = {r.node: r.is_survivor for r in quality_survivors(labels, docs).collect()}
+    assert rows == {1: False, 2: True, 3: False, 10: True, 11: False}

@@ -90,6 +90,7 @@ def test_text_ops_have_no_python_nodes(spark):
         "corpus_shuffle",
         "cms_heavy_hitters",
         "classifier_scores",
+        "bigram_lm_stats",
     ):
         p = _plan(QUERIES[name](spark, SF), mode="simple")
         assert "EvalPython" not in p, f"{name} runs Python:\n{p}"
