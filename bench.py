@@ -126,6 +126,10 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "dup_ngram_share",
         "corpus_shuffle",
         "cms_heavy_hitters",
+        "dedup_delta",
+        "classifier_scores",
+        "bigram_lm_stats",
+        "neardup_survivors",
     ]
     for name in headline:
         t0 = time.monotonic()
