@@ -183,11 +183,24 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--max-hamming", type=int, default=3,
                    help="simhash: keep pairs within this Hamming distance "
                         "(exact recall requires max-hamming < bands)")
+    p.add_argument("--survivor-policy", choices=("min-id", "longest"),
+                   default="min-id",
+                   help="per-cluster keep rule: smallest doc_id (default) "
+                        "or the longest member (ties -> smallest doc_id)")
     p.add_argument("--master", default=None)
+
+    # plan audit: print the physical plan of any contract query — the
+    # .explain() surface as a first-class CLI verb
+    p = sub.add_parser("explain")
+    p.add_argument("--query", required=True,
+                   help="contract query name, or 'list' to enumerate")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--plan-mode", default="formatted",
+                   choices=("simple", "extended", "formatted", "cost", "codegen"))
 
     args = ap.parse_args(argv)
     spark = build_session(f"cdc_engine-{args.cmd}", master=args.master)
-    if args.cmd not in ("neardup", "changes", "mview", "rollback", "tag", "fsck", "lookup"):
+    if args.cmd not in ("neardup", "changes", "mview", "rollback", "tag", "fsck", "lookup", "explain"):
         cfg = CdcConfig(
             events_per_epoch=args.events_per_epoch,
             n_buckets=args.n_buckets,
@@ -280,7 +293,19 @@ def main(argv: list[str] | None = None) -> None:
                 threshold_milli=args.threshold_milli,
             )
         comps = connected_components(pairs, src="da", dst="db")
-        dropped = comps.where(F.col("node") != F.col("component"))
+        if args.survivor_policy == "longest":
+            from cdc_engine.dedup_text import quality_survivors
+
+            docs_q = (
+                docs
+                if "n_chars" in docs.columns
+                else docs.withColumn("n_chars", F.length("text"))
+            )
+            dropped = quality_survivors(comps, docs_q).where(
+                ~F.col("is_survivor")
+            )
+        else:
+            dropped = comps.where(F.col("node") != F.col("component"))
         survivors = docs.join(
             dropped, docs["doc_id"] == dropped["node"], "left_anti"
         )
@@ -293,6 +318,13 @@ def main(argv: list[str] | None = None) -> None:
             "dropped": n_docs - n_out,
             "clusters": comps.select("component").distinct().count(),
         }))
+    elif args.cmd == "explain":
+        from cdc_engine.contract import QUERIES
+
+        if args.query == "list":
+            print("\n".join(QUERIES))
+        else:
+            QUERIES[args.query](spark, args.sf_dir).explain(mode=args.plan_mode)
     elif args.cmd == "rollback":
         lake = SnapLake(args.lake)
         try:
