@@ -197,6 +197,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--plan-mode", default="formatted",
                    choices=("simple", "extended", "formatted", "cost", "codegen"))
+    p.add_argument("--master", default=None)
 
     args = ap.parse_args(argv)
     spark = build_session(f"cdc_engine-{args.cmd}", master=args.master)
