@@ -1837,13 +1837,12 @@ ORACLE_SQL: dict[str, str] = {
         bg AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN list_slice(toks, 1, len(toks) - 1) ELSE [] END) AS w1,
                       unnest(CASE WHEN len(toks) >= 2 THEN list_slice(toks, 2, len(toks)) ELSE [] END) AS w2
                FROM b),
-        counts AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
-        lefts AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_w1 FROM counts GROUP BY 1),
-        conts AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_cont FROM counts GROUP BY 1),
-        top AS (SELECT w1, w2, n FROM counts ORDER BY n DESC, w1, w2 LIMIT 30)
-        SELECT t.w1, t.w2, t.n, l.n_w1, c.n_cont
-        FROM top t JOIN lefts l USING (w1) JOIN conts c USING (w2)
-        ORDER BY t.n DESC, t.w1, t.w2
+        counts AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2)
+        SELECT w1, w2, n,
+               CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS n_w1,
+               CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n_cont
+        FROM counts
+        ORDER BY n DESC, w1, w2 LIMIT 30
     """,
     # components + per-component argmax(n_chars, min doc_id) survivor
     "neardup_survivors": """

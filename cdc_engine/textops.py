@@ -777,10 +777,16 @@ def bigram_kn_stats(docs: DataFrame, k: int = 30) -> DataFrame:
 
     Scale shape: bigram enumeration is in-row (transform over positions,
     zero joins), the corpus-sized exchange is ONE map-side-combinable
-    hash aggregate onto (w1, w2); both KN statistics are re-aggregations
-    of that vocab²-bounded counts relation, never of the corpus; the
-    top-k joins are k-row against keyed aggregates. Exact integer counts,
-    total (n DESC, w1, w2) order → bit-stable top-k cross-engine."""
+    hash aggregate onto (w1, w2); both KN statistics attach as WINDOW
+    aggregates over that vocab²-bounded counts relation — measured
+    (sf0.001 plan audit): the three-way self-join form re-scanned and
+    re-exploded the corpus three times (no ReusedExchange even with AQE
+    off), the window form has exactly ONE corpus subtree and pays two
+    window shuffles on the small counts relation instead. Exact integer
+    counts, total (n DESC, w1, w2) order → bit-stable top-k
+    cross-engine."""
+    from pyspark.sql import Window
+
     toks = tokens_expr()
     n_tok = F.size(toks)
     grams = F.when(
@@ -795,12 +801,14 @@ def bigram_kn_stats(docs: DataFrame, k: int = 30) -> DataFrame:
     ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string>>)"))
     bg = docs.select(F.explode(grams).alias("g")).select("g.w1", "g.w2")
     counts = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n"))
-    top = counts.orderBy(F.col("n").desc(), "w1", "w2").limit(k)
-    lefts = counts.groupBy("w1").agg(F.sum("n").cast("long").alias("n_w1"))
-    conts = counts.groupBy("w2").agg(F.count("*").cast("long").alias("n_cont"))
     return (
-        top.join(lefts, "w1")
-        .join(conts, "w2")
-        .select("w1", "w2", "n", "n_w1", "n_cont")
+        counts.select(
+            "w1",
+            "w2",
+            "n",
+            F.sum("n").over(Window.partitionBy("w1")).cast("long").alias("n_w1"),
+            F.count("*").over(Window.partitionBy("w2")).cast("long").alias("n_cont"),
+        )
         .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(k)
     )
