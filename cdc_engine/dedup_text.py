@@ -202,7 +202,11 @@ def lsh_candidate_pairs(
 
 
 def delta_lsh_candidates(
-    old_docs: DataFrame, new_docs: DataFrame, k: int = 8, band_rows: int = 2
+    old_docs: DataFrame | None,
+    new_docs: DataFrame,
+    k: int = 8,
+    band_rows: int = 2,
+    old_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: candidate pairs involving AT LEAST ONE doc
     from the NEW batch — the dedup step a CDC ingest actually runs per
@@ -221,8 +225,16 @@ def delta_lsh_candidates(
     what the oracle checks.
 
     Returns distinct (da, db) with da < db, orientation-normalized so the
-    output is comparable with the full-corpus chain."""
-    bo = banded_signatures(old_docs, k, band_rows)
+    output is comparable with the full-corpus chain.
+
+    ``old_banded``: pass the PERSISTED index relation (a lake table of
+    banded_signatures rows) instead of ``old_docs`` — the production
+    form, where the old corpus' signatures are never recomputed."""
+    bo = (
+        old_banded.select("doc_id", "band", "band_key")
+        if old_banded is not None
+        else banded_signatures(old_docs, k, band_rows)
+    )
     bn = banded_signatures(new_docs, k, band_rows)
     # same explosion-aware width pinning as lsh_candidate_pairs: the
     # banded relations are byte-small but the join OUTPUT explodes

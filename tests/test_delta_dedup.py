@@ -75,3 +75,27 @@ def test_quality_survivor_policy(spark):
     )
     rows = {r.node: r.is_survivor for r in quality_survivors(labels, docs).collect()}
     assert rows == {1: False, 2: True, 3: False, 10: True, 11: False}
+
+
+def test_epoch_accumulation_telescopes(spark):
+    """Three successive ingest epochs maintaining a signature INDEX:
+    epoch-0 self candidates + each epoch's delta candidates must tile the
+    full-corpus candidate set exactly — the invariant that lets a CDC
+    pipeline dedup per epoch forever without ever re-scoring old×old."""
+    from cdc_engine.dedup_text import lsh_candidate_pairs as full_pairs
+
+    docs = _docs(spark)
+    b = permille_bucket(F.col("doc_id"), "epoch:")
+    epochs = [
+        docs.where(b < 600),
+        docs.where((b >= 600) & (b < 800)),
+        docs.where(b >= 800),
+    ]
+    acc = {(r.da, r.db) for r in full_pairs(epochs[0]).collect()}
+    index = banded_signatures(epochs[0])  # the persisted lake relation
+    for ep in epochs[1:]:
+        delta = delta_lsh_candidates(None, ep, old_banded=index)
+        acc |= {(r.da, r.db) for r in delta.collect()}
+        index = index.unionByName(banded_signatures(ep))  # epoch APPEND
+    want = {(r.da, r.db) for r in full_pairs(docs).collect()}
+    assert acc == want and acc
