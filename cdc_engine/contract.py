@@ -2920,6 +2920,12 @@ ORACLE_SQL["url_canonicalize"] = (
 #   * multimodal_blob_meta — multimodal_features (real decode) +
 #                           multimodal_frame_sample keep the family;
 #                           blob_meta is its narrow metadata projection
+# Session-close swap: the four last-landed round-5 queries (dedup_delta,
+# classifier_scores, bigram_lm_stats, neardup_survivors) moved INTO the
+# window, displacing four untouched r04-green contract fillers
+# (union_schema_merge, broadcast_dim_join, tpch_q1_pricing, tpch_q3_topk)
+# whose code is bit-identical to what the r04 driver hashed; every r5-new
+# query therefore gets a real driver row this round.
 # Late-round-5 displacements (all r04-green, each with an in-window
 # coverage stand-in):
 #   * neardup_components  — components stay pytest-covered (test_components);
@@ -2983,10 +2989,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_outcomes": q_cdc_merge_outcomes,
     "ledger_anti_join": q_ledger_anti_join,
     "epoch_stats": q_epoch_stats,
-    "union_schema_merge": q_union_schema_merge,
-    "broadcast_dim_join": q_broadcast_dim_join,
-    "tpch_q1_pricing": q_tpch_q1_pricing,
-    "tpch_q3_topk": q_tpch_q3_topk,
+    "dedup_delta": q_dedup_delta,
+    "classifier_scores": q_classifier_scores,
+    "bigram_lm_stats": q_bigram_lm_stats,
+    "neardup_survivors": q_neardup_survivors,
     "edit_distance_rescore": q_edit_distance_rescore,
     "kmeans_refine": q_kmeans_refine,
     "ann_ivf_query_topk": q_ann_ivf_query_topk,
@@ -3030,8 +3036,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_prior_click": q_asof_prior_click,
     "vocab_df_topk": q_vocab_df_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
-    "dedup_delta": q_dedup_delta,
-    "classifier_scores": q_classifier_scores,
-    "bigram_lm_stats": q_bigram_lm_stats,
-    "neardup_survivors": q_neardup_survivors,
+    "union_schema_merge": q_union_schema_merge,  # r04-green; displaced by dedup_delta
+    "broadcast_dim_join": q_broadcast_dim_join,  # r04-green; displaced by classifier_scores
+    "tpch_q1_pricing": q_tpch_q1_pricing,  # r04-green; displaced by bigram_lm_stats
+    "tpch_q3_topk": q_tpch_q3_topk,  # r04-green; displaced by neardup_survivors
 }
