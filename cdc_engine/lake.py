@@ -912,13 +912,19 @@ class SnapLake:
         """Buckets whose covering file set differs between two manifests —
         pure metadata (group refs compared before any side-file resolve;
         only changed groups resolve their lists). None = unknowable
-        (legacy inline file list) => caller must treat ALL buckets as
-        touched. Shared by incremental MV maintenance (mview.py) and the
-        change data feed (``changes``): both bound their scans to exactly
-        these buckets, which is what keeps them trickle-epoch-cheap at
-        100 TB."""
+        (legacy inline file list, or a partition-spec change between the
+        versions — bucket ids are not comparable across moduli) => caller
+        must treat ALL buckets as touched. Shared by incremental MV
+        maintenance (mview.py) and the change data feed (``changes``):
+        both bound their scans to exactly these buckets, which is what
+        keeps them trickle-epoch-cheap at 100 TB."""
         man_old, man_new = self.manifest(v_old), self.manifest(v_new)
         if "file_groups" not in man_old or "file_groups" not in man_new:
+            return None
+        if man_old["n_buckets"] != man_new["n_buckets"]:
+            # rebucket in the interval: every file was rewritten and the
+            # two versions' bucket spaces don't align — "all buckets" is
+            # both the physical truth and the only consistent answer
             return None
         n_buckets = man_new["n_buckets"]
         go = man_old["file_groups"]["groups"]
@@ -1815,6 +1821,125 @@ class SnapLake:
             b for b, n in self.bucket_file_counts().items() if n > max_files_per_bucket
         ]
         return self.compact(spark, sorted(over))
+
+    # --------------------------------------------------- partition evolution
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict[str, Any] | None:
+        """Partition-spec evolution: rewrite the table from
+        ``bucket(n_buckets, url)`` to ``bucket(new_n_buckets, url)`` in one
+        snapshot commit (the Iceberg partition-spec-evolution analog for
+        this layout — except eager: the hash-bucket spec is load-bearing
+        for merge's touched-bucket selection and lookup's pruning, so a
+        lazy two-spec table would make every keyed read scan both specs;
+        one rewrite commit keeps those paths single-spec and O(1/buckets)).
+
+        Logical state is UNTOUCHED: the rewrite is the MoR-collapsed
+        relation (one LWW winner per url, tombstones and ``_cdc_seq``
+        carried) re-hashed into the new bucket space, so ``state_hash`` is
+        bit-identical across the commit. The epoch LEDGER is carried
+        forward verbatim — replay resumed after a rebucket skips exactly
+        the epochs it would have skipped before (exactly-once survives
+        spec evolution, same contract as compaction). Subsequent merges
+        read ``n_buckets`` from the head manifest per call, so the next
+        epoch applies on the new spec with no caller change.
+
+        Ops shape at 100 TB: this is the ONE deliberately full-table
+        job in the engine (every url changes bucket residue when the
+        modulus changes — no incremental spec migration exists that keeps
+        keyed pruning exact), sized/scheduled like a full compaction:
+        one shuffle on the new bucket id, adaptive file fanout, and the
+        snapshot flip is O(1) metadata. Grow buckets when per-bucket
+        bytes outgrow executor memory; shrink when trickle epochs smear
+        into too-small files."""
+        man = self.manifest()
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        if new_n_buckets == man["n_buckets"]:
+            return None
+        version = man["version"] + 1
+        commit_id = "b" + _stable_hash(
+            f"{man['table_uuid']}:rebucket:{version}:{new_n_buckets}"
+        )
+        out_rel = os.path.join("data", commit_id)
+        out_abs = os.path.join(self.path, out_rel)
+        if os.path.exists(out_abs):
+            import shutil
+
+            shutil.rmtree(out_abs)
+        files_in = self._files(man)
+        est_rows = sum(int(f.get("rows") or 0) for f in files_in) or None
+        collapsed = self.scan_internal(spark).withColumn(
+            "_bucket", bucket_expr("url", new_n_buckets)
+        )
+        ft = self._write_modulus(new_n_buckets, est_rows)
+        if ft < new_n_buckets:
+            collapsed = collapsed.withColumn(
+                "_bucket", F.pmod(F.col("_bucket"), F.lit(ft))
+            )
+        nparts = max(
+            1,
+            min(ft if ft < new_n_buckets else new_n_buckets,
+                spark.sparkContext.defaultParallelism),
+        )
+        (
+            collapsed.repartition(nparts, F.col("_bucket"))
+            .sortWithinPartitions("url")
+            .write.mode("errorifexists")
+            .partitionBy("_bucket")
+            .parquet(out_abs)
+        )
+        new_files = _walk_bucket_files(self.path, out_rel, man.get("key_blooms", False))
+        if ft < new_n_buckets:
+            for f in new_files:
+                f["bmod"] = ft
+        # the bucket->group mapping changes with the modulus, so file_groups
+        # is REBUILT (not advanced): every non-empty group is a fresh member
+        # of this commit's side bundle
+        n_groups = min(FILE_GROUPS_MAX, new_n_buckets)
+        bundle = _SideBundle(
+            os.path.join("metadata", f"commit-{man['table_uuid'][:8]}-{commit_id}.json")
+        )
+        by_group: dict[int, list[dict]] = {}
+        for f in new_files:
+            by_group.setdefault(f["bucket"] % n_groups, []).append(f)
+        groups: dict[str, dict] = {}
+        for g, fs in sorted(by_group.items()):
+            fs = sorted(fs, key=lambda f: (f["bucket"], f["path"]))
+            groups[str(g)] = {
+                "ref": bundle.add(f"files-g{g}", fs),
+                "n_files": len(fs),
+                "bytes": sum(f["bytes"] for f in fs),
+            }
+        if bundle.members:
+            self._write_side_json(bundle.rel_path, bundle.members)
+        new_man = {
+            **man,
+            "version": version,
+            "n_buckets": new_n_buckets,
+            "file_groups": {"n_groups": n_groups, "groups": groups},
+            "parent": man["version"],
+            "summary": {
+                "commit_id": commit_id,
+                "kind": "rebucket",
+                "n_buckets_old": man["n_buckets"],
+                "n_buckets_new": new_n_buckets,
+                "files_written": len(new_files),
+            },
+            "lineage": [],
+        }
+        new_man.pop("files", None)  # legacy inline list superseded by groups
+        try:
+            self._write_manifest(new_man)
+        except FileExistsError:
+            if not self._clear_unpublished_manifest(version):
+                raise
+            self._write_manifest(new_man)
+        return {
+            "version": version,
+            "commit_id": commit_id,
+            "n_buckets_old": man["n_buckets"],
+            "n_buckets_new": new_n_buckets,
+            "files_written": len(new_files),
+        }
 
     # ------------------------------------------------------------- expiry
     @staticmethod

@@ -95,6 +95,17 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("compact")
     common(p)
 
+    # partition-spec evolution: rewrite to a new url-hash bucket count in
+    # one snapshot commit (state hash + ledger carried; replay resumes
+    # exactly-once on the new spec)
+    p = sub.add_parser("rebucket")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--to-buckets", type=int, required=True,
+                   help="new bucket count; grow when per-bucket bytes "
+                   "outgrow executor memory, shrink when trickle epochs "
+                   "smear into too-small files")
+    p.add_argument("--master", default=None)
+
     p = sub.add_parser("expire")
     common(p)
     p.add_argument("--keep-last", type=int, default=10,
@@ -201,7 +212,7 @@ def main(argv: list[str] | None = None) -> None:
 
     args = ap.parse_args(argv)
     spark = build_session(f"cdc_engine-{args.cmd}", master=args.master)
-    if args.cmd not in ("neardup", "changes", "mview", "rollback", "tag", "fsck", "lookup", "explain"):
+    if args.cmd not in ("neardup", "changes", "mview", "rollback", "tag", "fsck", "lookup", "explain", "rebucket"):
         cfg = CdcConfig(
             events_per_epoch=args.events_per_epoch,
             n_buckets=args.n_buckets,
@@ -234,6 +245,13 @@ def main(argv: list[str] | None = None) -> None:
         lake = SnapLake(args.lake)
         r = lake.compact(spark, sorted(lake.bucket_file_counts()))
         print(json.dumps(r or {}))
+    elif args.cmd == "rebucket":
+        lake = SnapLake(args.lake)
+        n, h = lake.state_hash(spark)
+        r = lake.rebucket(spark, args.to_buckets)
+        n2, h2 = lake.state_hash(spark)
+        assert (n, h) == (n2, h2), "rebucket changed logical state"
+        print(json.dumps({**(r or {"noop": True}), "rows": n2, "state_hash": h2}))
     elif args.cmd == "expire":
         lake = SnapLake(args.lake)
         r = lake.expire_snapshots(keep_last=args.keep_last, vacuum=not args.no_vacuum)
