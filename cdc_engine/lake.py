@@ -836,16 +836,34 @@ class SnapLake:
             )
         return df
 
+    @staticmethod
+    def _cstats_disjoint(f: dict, col_bounds: dict[str, tuple]) -> bool:
+        """True when the file's recorded cluster-column ranges prove it
+        cannot contain a row satisfying ALL the bounds. Files without
+        stats for a bounded column are conservatively kept."""
+        cs = f.get("cstats") or {}
+        for c, (lo, hi) in col_bounds.items():
+            rng = cs.get(c)
+            if rng is None:
+                continue
+            flo, fhi = rng
+            if (hi is not None and flo > hi) or (lo is not None and fhi < lo):
+                return True
+        return False
+
     def scan(
         self,
         spark: SparkSession,
         version: int | None = None,
         ts_min=None,
         ts_max=None,
+        col_bounds: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Live rows, user columns only (tombstones filtered).
 
-        ``ts_min``/``ts_max`` (datetime): optional warc_ts bounds. Row-level
+        ``ts_min``/``ts_max`` (datetime): optional warc_ts bounds.
+        ``col_bounds``: {col: (lo, hi)} inclusive ranges on cluster-stat
+        columns (equality = (v, v); half-open = None on one side). Row-level
         filtering always applies; additionally, whole FILES are pruned via
         the manifest's footer-stat ranges when that is LWW-safe — i.e. when
         every candidate file is a base file (each row is current state).
@@ -854,7 +872,7 @@ class SnapLake:
         man = self.manifest(version)
         files = self._files(man)
         all_base = all(f.get("kind", "base") == "base" for f in files)
-        if (ts_min is not None or ts_max is not None) and all_base:
+        if (ts_min is not None or ts_max is not None or col_bounds) and all_base:
             from datetime import datetime as _dt
 
             keep = []
@@ -866,6 +884,8 @@ class SnapLake:
                         ts_min is not None and fhi < ts_min
                     ):
                         continue  # file provably out of range
+                if col_bounds and self._cstats_disjoint(f, col_bounds):
+                    continue
                 keep.append(f)
             # exact file-granular pruning: a bucket with one in-range and one
             # out-of-range file reads only the in-range file
@@ -876,6 +896,11 @@ class SnapLake:
             df = df.where(F.col("warc_ts") >= F.lit(ts_min))
         if ts_max is not None:
             df = df.where(F.col("warc_ts") <= F.lit(ts_max))
+        for c, (lo, hi) in (col_bounds or {}).items():
+            if lo is not None:
+                df = df.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(c) <= F.lit(hi))
         user_cols = [f.name for f in T.StructType.fromJson(man["schema"]).fields]
         return df.where(~F.col(INTERNAL_DELETED)).select(*user_cols)
 
@@ -1003,6 +1028,15 @@ class SnapLake:
             )
             .where(F.col("change_type").isNotNull())
         )
+
+    def prunable_files_for(
+        self, col_bounds: dict[str, tuple], version: int | None = None
+    ) -> tuple[int, int]:
+        """(files kept, files total) for a cluster-stat-bounded scan — the
+        observability hook for the cluster_by data-skipping path."""
+        files = self._files(self.manifest(version))
+        kept = sum(1 for f in files if not self._cstats_disjoint(f, col_bounds))
+        return kept, len(files)
 
     def prunable_files(self, ts_min, ts_max, version: int | None = None) -> tuple[int, int]:
         """(files kept, files total) for a time-bounded scan — the pruning
@@ -1703,6 +1737,8 @@ class SnapLake:
         spark: SparkSession,
         buckets: list[int],
         purge_tombstones_older_than_seq: int | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_files_per_bucket: int | None = None,
     ) -> dict[str, Any] | None:
         """Fold the given buckets' base+delta files into fresh base files
         (the Iceberg rewrite_data_files analog). Logical state is unchanged
@@ -1715,7 +1751,19 @@ class SnapLake:
         caller guarantees no event with seq < horizon can still arrive
         (i.e. the source's replay window has passed) — otherwise a purged
         tombstone would let an ancient out-of-order insert resurrect the
-        url. Live-row semantics are unaffected either way."""
+        url. Live-row semantics are unaffected either way.
+
+        ``cluster_by``: Iceberg sort-order / Delta OPTIMIZE ZORDER analog.
+        Each bucket's rows are range-split into ``cluster_files_per_bucket``
+        files CONTIGUOUS in (cluster cols, url) order (ntile within the
+        bucket — a sort over rows this job already shuffled, no extra
+        exchange), and every written file's manifest entry records min/max
+        footer stats for the cluster columns. ``scan(col_bounds=...)`` then
+        prunes whole files whose range is provably disjoint — at 100 TB a
+        predicate on a clustered column reads ~1/k of each bucket instead
+        of all of it, composing with (not replacing) the url-hash bucket
+        pruning that keyed reads use. Default fanout: per-bucket rows /
+        TARGET_ROWS_PER_FILE, clamped to [1, 64]."""
         man = self.manifest()
         if not buckets:
             return None
@@ -1769,14 +1817,42 @@ class SnapLake:
             min(ft if ft < nb else len(bucket_set),
                 spark.sparkContext.defaultParallelism),
         )
-        (
-            collapsed.repartition(nparts, F.col("_bucket"))
-            .sortWithinPartitions("url")
-            .write.mode("errorifexists")
-            .partitionBy("_bucket")
-            .parquet(out_abs)
+        if cluster_by:
+            from pyspark.sql.window import Window
+
+            have = set(collapsed.columns)
+            missing = [c for c in cluster_by if c not in have]
+            if missing:
+                raise ValueError(f"cluster_by columns not in schema: {missing}")
+            per_bucket = None if est_rows is None else est_rows // max(1, len(bucket_set))
+            k = cluster_files_per_bucket or (
+                1
+                if per_bucket is None
+                else max(1, min(64, -(-per_bucket // TARGET_ROWS_PER_FILE)))
+            )
+            w = Window.partitionBy("_bucket").orderBy(*cluster_by, "url")
+            (
+                collapsed.repartition(nparts, F.col("_bucket"))
+                .withColumn("_ccls", F.ntile(int(k)).over(w))
+                .sortWithinPartitions("_bucket", "_ccls", *cluster_by, "url")
+                .write.mode("errorifexists")
+                .partitionBy("_ccls", "_bucket")
+                .parquet(out_abs)
+            )
+        else:
+            (
+                collapsed.repartition(nparts, F.col("_bucket"))
+                .sortWithinPartitions("url")
+                .write.mode("errorifexists")
+                .partitionBy("_bucket")
+                .parquet(out_abs)
+            )
+        new_files = _walk_bucket_files(
+            self.path,
+            out_rel,
+            man.get("key_blooms", False),
+            stat_cols=tuple(cluster_by or ()),
         )
-        new_files = _walk_bucket_files(self.path, out_rel, man.get("key_blooms", False))
         if ft < nb:
             for f in new_files:
                 f["bmod"] = ft
@@ -1798,6 +1874,7 @@ class SnapLake:
                 "kind": "compaction",
                 "buckets": sorted(bucket_set),
                 "files_written": len(new_files),
+                **({"cluster_by": cluster_by} if cluster_by else {}),
             },
             "lineage": [],
         }
@@ -2168,7 +2245,13 @@ def _kbloom_prune(files: list[dict], urls: list[str]) -> list[dict]:
     ]
 
 
-def _footer_stats(root: str, ap: str, bucket: int, with_bloom: bool = False) -> dict:
+def _footer_stats(
+    root: str,
+    ap: str,
+    bucket: int,
+    with_bloom: bool = False,
+    stat_cols: tuple[str, ...] = (),
+) -> dict:
     """One file's manifest entry: rows/bytes + warc_ts min/max from parquet
     footer statistics, so time-bounded scans prune whole files without
     opening them — the manifest-level analog of Iceberg's days(warc_ts)
@@ -2201,6 +2284,28 @@ def _footer_stats(root: str, ap: str, bucket: int, with_bloom: bool = False) -> 
         "ts_min": None if ts_lo is None else ts_lo.isoformat(),
         "ts_max": None if ts_hi is None else ts_hi.isoformat(),
     }
+    cstats: dict[str, list] = {}
+    for c in stat_cols:
+        try:
+            idx = md.schema.names.index(c)
+        except ValueError:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            rlo, rhi = st.min, st.max
+            if not isinstance(rlo, (str, int, float)) or isinstance(rlo, bool):
+                lo = hi = None
+                break  # only JSON-portable scalar types carry manifest stats
+            lo = rlo if lo is None else min(lo, rlo)
+            hi = rhi if hi is None else max(hi, rhi)
+        if lo is not None:
+            cstats[c] = [lo, hi]
+    if cstats:
+        out["cstats"] = cstats
     if with_bloom and md.num_rows and "url" in md.schema.names:
         col = pq.read_table(ap, columns=["url"]).column("url")
         kb = _kbloom_build(u.as_py() for u in col)
@@ -2209,7 +2314,12 @@ def _footer_stats(root: str, ap: str, bucket: int, with_bloom: bool = False) -> 
     return out
 
 
-def _walk_bucket_files(root: str, rel_dir: str, with_blooms: bool = False) -> list[dict]:
+def _walk_bucket_files(
+    root: str,
+    rel_dir: str,
+    with_blooms: bool = False,
+    stat_cols: tuple[str, ...] = (),
+) -> list[dict]:
     """Collect parquet files written under data/<commit>/_bucket=K/.
 
     Footer harvesting is a thread pool, not a serial loop: pyarrow releases
@@ -2230,10 +2340,12 @@ def _walk_bucket_files(root: str, rel_dir: str, with_blooms: bool = False) -> li
             if n.endswith(".parquet")
         )
     if len(targets) <= 4:
-        out = [_footer_stats(root, ap, b, with_blooms) for ap, b in targets]
+        out = [_footer_stats(root, ap, b, with_blooms, stat_cols) for ap, b in targets]
     else:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(16, len(targets))) as ex:
-            out = list(ex.map(lambda t: _footer_stats(root, *t, with_blooms), targets))
+            out = list(
+                ex.map(lambda t: _footer_stats(root, *t, with_blooms, stat_cols), targets)
+            )
     return sorted(out, key=lambda f: (f["bucket"], f["path"]))

@@ -94,6 +94,14 @@ def main(argv: list[str] | None = None) -> None:
 
     p = sub.add_parser("compact")
     common(p)
+    p.add_argument("--cluster-by", default=None,
+                   help="comma-separated columns: range-split each bucket's "
+                   "files contiguous in this order and record per-file "
+                   "min/max stats so scan(col_bounds=...) prunes whole "
+                   "files (Iceberg sort-order / OPTIMIZE ZORDER analog)")
+    p.add_argument("--files-per-bucket", type=int, default=None,
+                   help="cluster fanout override (default: per-bucket rows "
+                   "/ 100k, clamped to [1, 64])")
 
     # partition-spec evolution: rewrite to a new url-hash bucket count in
     # one snapshot commit (state hash + ledger carried; replay resumes
@@ -243,7 +251,11 @@ def main(argv: list[str] | None = None) -> None:
         }))
     elif args.cmd == "compact":
         lake = SnapLake(args.lake)
-        r = lake.compact(spark, sorted(lake.bucket_file_counts()))
+        cluster = [c for c in (args.cluster_by or "").split(",") if c] or None
+        r = lake.compact(
+            spark, sorted(lake.bucket_file_counts()),
+            cluster_by=cluster, cluster_files_per_bucket=args.files_per_bucket,
+        )
         print(json.dumps(r or {}))
     elif args.cmd == "rebucket":
         lake = SnapLake(args.lake)
