@@ -126,6 +126,7 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "dup_ngram_share",
         "corpus_shuffle",
         "cms_heavy_hitters",
+        "bpe_encode",
         "dedup_delta",
         "classifier_scores",
         "bigram_lm_stats",

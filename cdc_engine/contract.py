@@ -1348,6 +1348,15 @@ def q_bpe_pair_topk(spark, sf):
     return bpe_pair_topk(t(spark, sf, "documents"), k=30)
 
 
+def q_bpe_encode(spark, sf):
+    """BPE encode with the frozen 16-merge artifact (textops.bpe_encode,
+    Sennrich-style replace-all-in-rank-order): per-doc word/char/subtoken
+    counts; merge chain runs over the distinct vocabulary only."""
+    from cdc_engine.textops import bpe_encode
+
+    return bpe_encode(t(spark, sf, "documents"))
+
+
 def q_changes_feed(spark, sf):
     """Change data feed (SnapLake.changes — the CDC-OUT surface): build a
     lake from documents (epoch 0 inserts every doc; epoch 1 deletes
@@ -2448,6 +2457,9 @@ ORACLE_SQL: dict[str, str] = {
         FROM pairs GROUP BY pair
         ORDER BY n DESC, pair ASC LIMIT 30
     """,
+    # bpe_encode: built below from the SAME textops.BPE_MERGES constant the
+    # Spark query applies, so the two replace chains cannot drift (see
+    # _bpe_encode_oracle after this dict)
     # the %10 epoch rules of q_changes_feed replayed as pure SQL: the feed
     # is fully determined by the rules, so the oracle needs no engine
     "changes_feed": """
@@ -2882,6 +2894,40 @@ ORACLE_SQL["url_canonicalize"] = (
     .replace("{TRACK}", URL_TRACKING_KEY_RE)
 )
 
+
+def _bpe_encode_oracle() -> str:
+    """bpe_encode oracle, generated from the SAME textops.BPE_MERGES constant
+    the Spark query applies — the two replace chains cannot drift. DuckDB's
+    replace() is left-to-right non-overlapping replace-all, exactly Spark's
+    F.replace, so the chain is value-identical by construction."""
+    from cdc_engine.textops import BPE_MERGES
+
+    rep = r"regexp_replace(w, '(.)', '_\1', 'g')"
+    for _a, _b in BPE_MERGES:
+        rep = f"replace({rep}, '_{_a}_{_b}', '_{_a}{_b}')"
+    return f"""
+        WITH words AS (
+            SELECT doc_id, w, COUNT(*) AS cnt FROM (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+                FROM documents)
+            GROUP BY doc_id, w
+        ),
+        enc AS (
+            SELECT w, length(r) - length(replace(r, '_', '')) AS n_sub FROM (
+                SELECT w, {rep} AS r FROM (SELECT DISTINCT w FROM words))
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_words,
+               CAST(SUM(cnt * length(w)) AS BIGINT) AS n_chars,
+               CAST(SUM(cnt * n_sub) AS BIGINT) AS n_subtokens
+        FROM words JOIN enc USING (w)
+        GROUP BY doc_id
+    """
+
+
+ORACLE_SQL["bpe_encode"] = _bpe_encode_oracle()
+
 # Dict ORDER is deliberate: the driver harness records exactly the first 50
 # entries per round. Rotation policy (round-3 verdict task 6, applied every
 # round since): every query must have a driver row dated within the last two
@@ -2952,6 +2998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "changes_feed": q_changes_feed,
     "bpe_pair_topk": q_bpe_pair_topk,
+    "bpe_encode": q_bpe_encode,  # new in r5 (close): frozen-merge BPE encode
     "pagerank_domains": q_pagerank_domains,
     "tfidf_topk": q_tfidf_topk,  # new in r5, must get its first row this round
     "bm25_topk": q_bm25_topk,  # new in r5 (late): lexical retrieval top-k
@@ -2988,7 +3035,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_final_state": q_cdc_final_state,
     "cdc_merge_outcomes": q_cdc_merge_outcomes,
     "ledger_anti_join": q_ledger_anti_join,
-    "epoch_stats": q_epoch_stats,
     "dedup_delta": q_dedup_delta,
     "classifier_scores": q_classifier_scores,
     "bigram_lm_stats": q_bigram_lm_stats,
@@ -3006,6 +3052,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "denylist_scrub": q_denylist_scrub,
     "repetition_stats": q_repetition_stats,
     # ---- deliberate tail under the 50-row driver cap (see header) --------
+    "epoch_stats": q_epoch_stats,  # r04-green; displaced by bpe_encode —
+    # its A1/A2 hash-agg + seq-range surface stays in-window via
+    # cdc_merge_outcomes / cdc_final_state / ledger_anti_join
     "neardup_components": q_neardup_components,  # r04-green; displaced by semdedup
     "jaccard_on_lsh": q_jaccard_on_lsh,  # r04-green; displaced by unigram_logprob
     "rollup_pricing": q_rollup_pricing,  # r04-green; displaced by hybrid_rrf

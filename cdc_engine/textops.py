@@ -557,6 +557,69 @@ def bpe_pair_topk(docs: DataFrame, k: int = 30) -> DataFrame:
     )
 
 
+# Frozen BPE merge table (rank order) — the tokenizer ARTIFACT, trained once
+# offline over the dev corpus with the classic Sennrich et al. 2016 loop
+# (count adjacent symbol pairs weighted by word frequency, merge the argmax
+# — ties broken pair-lexicographic ascending — re-segment, repeat 16x).
+# Production BPE encode always runs against a frozen artifact like this;
+# training is an offline job, encoding is the at-scale pass. The list
+# contains genuine multi-char merges (jo+in -> join, h+ash -> hash) learned
+# from this corpus's vocabulary.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+]
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Apply a frozen BPE merge table to the corpus and report per-document
+    subtoken statistics — the encode half of the tokenizer story
+    (``bpe_pair_topk`` is one statistics round of the training half).
+
+    Semantics (Sennrich et al. 2016 re.sub formulation, exactly): a word is
+    segmented as marker-prefixed symbols ("_j_o_i_n"); each merge (a, b) in
+    RANK ORDER rewrites every non-overlapping "_a_b" to "_ab" left-to-right
+    (plain string replace — identical left-to-right replace-all semantics in
+    Spark ``replace`` and DuckDB ``replace``, so the oracle is exact). The
+    surviving marker count IS the subtoken count.
+
+    Scale shape: encoding is corpus-size-independent — the corpus collapses
+    to a (doc_id, word, cnt) relation (one map-side-combinable hash agg),
+    the merge chain runs over the DISTINCT vocabulary only (Heaps'-law
+    bounded, |vocab| << corpus), and a single keyed join fans the per-word
+    subtoken counts back out. No per-row Python anywhere: the whole chain is
+    Catalyst ``replace``/``length`` expressions inside one codegen stage.
+
+    Returns (doc_id, n_words, n_chars, n_subtokens): n_subtokens <= n_chars,
+    with equality only when no merge fires — the gap is the compression the
+    frozen vocabulary buys on this document."""
+    if merges is None:
+        merges = BPE_MERGES
+    words = (
+        docs.select("doc_id", F.explode(tokens_expr()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rep = F.regexp_replace(F.col("w"), "(.)", "_$1")
+    for a, b in merges:
+        rep = F.replace(rep, F.lit(f"_{a}_{b}"), F.lit(f"_{a}{b}"))
+    enc = words.select("w").distinct().select(
+        "w",
+        (F.length(rep) - F.length(F.replace(rep, F.lit("_"), F.lit("")))).alias("n_sub"),
+    )
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_sub")).cast("long").alias("n_subtokens"),
+        )
+    )
+
+
 def unigram_logprob(docs: DataFrame) -> DataFrame:
     """Corpus-unigram LM score per document — the relational, deterministic
     stand-in for the CCNet/KenLM perplexity quality filter [Wenzek et al.

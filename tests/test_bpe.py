@@ -1,9 +1,9 @@
 """textops.bpe_pair_topk: weighted adjacent-pair counts over the
-word-frequency relation."""
+word-frequency relation; textops.bpe_encode: frozen-merge-table encode."""
 
 from __future__ import annotations
 
-from cdc_engine.textops import bpe_pair_topk
+from cdc_engine.textops import BPE_MERGES, bpe_encode, bpe_pair_topk
 
 
 def test_bpe_pair_counts_and_order(spark):
@@ -21,3 +21,47 @@ def test_bpe_tie_break_is_lexicographic(spark):
     docs = spark.createDataFrame([(1, "zz aa")], "doc_id int, text string")
     out = [(r["pair"], r["n"]) for r in bpe_pair_topk(docs, k=2).collect()]
     assert out == [("aa", 1), ("zz", 1)]
+
+
+def _encode_py(word: str, merges) -> int:
+    """Independent pure-python Sennrich encode: marker representation,
+    each merge applied exhaustively left-to-right in rank order."""
+    rep = "".join("_" + c for c in word)
+    for a, b in merges:
+        rep = rep.replace(f"_{a}_{b}", f"_{a}{b}")
+    return rep.count("_")
+
+
+def test_bpe_encode_matches_sequential_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "join the hash parser"), (2, "inner join grows lower"), (3, "q")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(docs).collect()}
+    import re
+
+    for doc_id, text in [(1, "join the hash parser"), (2, "inner join grows lower"), (3, "q")]:
+        words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        assert out[doc_id]["n_words"] == len(words)
+        assert out[doc_id]["n_chars"] == sum(len(w) for w in words)
+        assert out[doc_id]["n_subtokens"] == sum(_encode_py(w, BPE_MERGES) for w in words)
+
+
+def test_bpe_encode_compresses_and_bounds(spark):
+    # "join" is a learned 2-stage merge (j+o, jo+in) -> ONE subtoken;
+    # a never-merged word stays at one subtoken per char
+    docs = spark.createDataFrame([(1, "join join zqx")], "doc_id int, text string")
+    row = bpe_encode(docs).collect()[0]
+    assert row["n_chars"] == 11
+    # join=1 subtoken (x2), zqx=3 subtokens
+    assert row["n_subtokens"] == 5
+    assert row["n_subtokens"] <= row["n_chars"]
+
+
+def test_bpe_encode_left_to_right_overlap(spark):
+    # merge (e, r): "ererer" -> er|er|er (left-to-right non-overlapping);
+    # "rere" -> r|er|e (_r_e_r_e: replace "_e_r" matches once, at the
+    # middle e-r, yielding _r_er_e -> 3 subtokens)
+    docs = spark.createDataFrame([(1, "ererer rere")], "doc_id int, text string")
+    row = bpe_encode(docs, merges=[("e", "r")]).collect()[0]
+    assert row["n_subtokens"] == 3 + 3
