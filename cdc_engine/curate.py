@@ -1,0 +1,160 @@
+"""End-to-end corpus curation: the single pass a webtext training-data
+pipeline runs between "raw crawl" and "training shards", composed entirely
+from this engine's already-verified operators (each independently
+oracle-checked by the driver contract):
+
+  1. PII scrub        (textops.pii_scrub — before any dedup, so redaction
+                       markers don't perturb near-dup signatures)
+  2. exact dedup      (dedup_text.exact_dedup_canonical — one window min
+                       over the content hash)
+  3. near dedup       (minhash-LSH -> exact Jaccard rescore -> O(log n)
+                       connected components -> min-id survivor; optional)
+  4. quality funnel   (textops.quality_funnel — Gopher-style staged rules,
+                       retention loss attributed per stage)
+  5. split assignment (sampling.dataset_splits — content-stable md5
+                       per-mille holdout, stable under re-ingest)
+
+Scale shape: every stage is the respective operator's documented 100 TB
+shape (keyed shuffles on content hash / band keys, never all-pairs; pure
+Catalyst expressions; bounded star-contraction rounds). The orchestration
+itself adds NO new shuffles beyond its stages: survivors are carried as
+left-anti joins on doc_id, and the funnel report is one groupBy over the
+first-fail label. All report numbers are bounded aggregates — the corpus
+never reaches the driver.
+
+The composition intentionally matches the public recipe lineage
+(C4/Gopher/RefinedWeb): scrub -> dedup (exact then fuzzy) -> quality ->
+holdout. SPEC parity: BASELINE.json names webtext curation as the axis-B
+workload; this verb is its one-command form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate(
+    docs: DataFrame,
+    *,
+    neardup: bool = True,
+    k: int = 8,
+    band_rows: int = 2,
+    threshold_milli: int = 600,
+    val_permille: int = 100,
+    test_permille: int = 100,
+) -> tuple[DataFrame, dict]:
+    """Run the five-stage curation pipeline over (doc_id, text, ...) docs.
+
+    Returns (curated, report): ``curated`` keeps every input column except
+    that ``text`` is the scrubbed text, plus ``split`` — ready for
+    ``.write.partitionBy("split")``; ``report`` is a JSON-able dict of
+    funnel counts (all bounded aggregates, computed on the SAME cached
+    intermediate relations the pipeline itself consumes, so reporting adds
+    no recompute of a corpus-sized stage)."""
+    from cdc_engine.dedup_text import (
+        connected_components,
+        exact_dedup_canonical,
+        jaccard_on_lsh,
+    )
+    from cdc_engine.sampling import dataset_splits
+    from cdc_engine.textops import pii_scrub, quality_funnel
+
+    report: dict = {"docs_in": docs.count()}
+
+    # 1. PII scrub: replace text with the redacted form; keep counts.
+    scrubbed = pii_scrub(docs, col="text")
+    pii = scrubbed.agg(
+        F.sum("n_emails").alias("e"),
+        F.sum("n_ips").alias("i"),
+        F.sum("n_phones").alias("p"),
+    ).collect()[0]
+    report["pii_redactions"] = {
+        "emails": int(pii["e"] or 0),
+        "ips": int(pii["i"] or 0),
+        "phones": int(pii["p"] or 0),
+    }
+    base_cols = [c for c in docs.columns if c != "text"]
+    docs1 = scrubbed.select(*base_cols, F.col("clean_text").alias("text"))
+
+    # The near-dup chain re-reads the doc relation several times (tokens,
+    # signatures, candidate rescore) — cache the scrubbed corpus once for
+    # the duration of the pipeline. At cluster scale this is a
+    # MEMORY_AND_DISK materialization of the post-scrub corpus, the same
+    # checkpointing a production multi-stage pipeline does between passes.
+    persisted: list[DataFrame] = []
+
+    def _persist(df: DataFrame) -> DataFrame:
+        persisted.append(df.persist())
+        return df
+
+    docs1 = _persist(docs1)
+    try:
+        # 2. Exact dedup: keep the canonical (min doc_id) member per
+        # identical-content group — one keyed shuffle on md5(text).
+        canon = exact_dedup_canonical(docs1)
+        docs2 = docs1.join(
+            canon.where(F.col("is_dup")).select(F.col("doc_id").alias("_drop")),
+            docs1["doc_id"] == F.col("_drop"),
+            "left_anti",
+        )
+        docs2 = _persist(docs2)
+        report["after_exact_dedup"] = docs2.count()
+
+        # 3. Near dedup (optional): LSH candidates -> Jaccard >= threshold
+        # -> connected components -> drop non-canonical members.
+        if neardup:
+            pairs = jaccard_on_lsh(
+                docs2, k=k, band_rows=band_rows, threshold_milli=threshold_milli
+            )
+            comps = connected_components(pairs, src="da", dst="db")
+            dropped = comps.where(F.col("node") != F.col("component"))
+            docs3 = docs2.join(
+                dropped, docs2["doc_id"] == dropped["node"], "left_anti"
+            )
+            docs3 = _persist(docs3)
+            report["after_near_dedup"] = docs3.count()
+        else:
+            docs3 = docs2
+            report["after_near_dedup"] = report["after_exact_dedup"]
+
+        # 4. Quality funnel: keep passes; attribute every loss to its
+        # first failing rule (one groupBy over the narrow funnel relation).
+        fun = quality_funnel(docs3)
+        funnel_counts = {
+            r["first_fail"]: r["n"]
+            for r in fun.groupBy("first_fail")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        report["funnel"] = {
+            stage: int(funnel_counts.get(stage, 0))
+            for stage in ("r1_len", "r2_wordlen", "r3_stop", "r4_punct", "r5_ttr", "pass")
+        }
+        keep = fun.where(F.col("passed") == 1).select("doc_id", "n_words")
+        docs4 = docs3.join(keep, "doc_id")
+        report["after_quality"] = report["funnel"]["pass"]
+        report["n_words_curated"] = int(
+            docs4.agg(F.sum("n_words")).collect()[0][0] or 0
+        )
+
+        # 5. Holdout assignment: content-stable per-mille split on doc_id.
+        splits = dataset_splits(
+            docs4,
+            key="doc_id",
+            val_permille=val_permille,
+            test_permille=test_permille,
+        ).select("doc_id", "split")
+        curated = docs4.drop("n_words").join(splits, "doc_id")
+        report["splits"] = {
+            r["split"]: r["n"]
+            for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        # materialize the result before unpersisting its inputs; curated
+        # stays cached for the caller's write
+        curated = curated.persist()
+        curated.count()
+    finally:
+        for df in persisted:
+            df.unpersist()
+    return curated, report

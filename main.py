@@ -208,6 +208,24 @@ def main(argv: list[str] | None = None) -> None:
                         "or the longest member (ties -> smallest doc_id)")
     p.add_argument("--master", default=None)
 
+    # end-to-end corpus curation: PII scrub -> exact dedup -> near dedup ->
+    # Gopher-style quality funnel -> split assignment, one command
+    # (cdc_engine/curate.py; every stage is an independently oracle-checked
+    # operator)
+    p = sub.add_parser("curate")
+    p.add_argument("--docs", required=True, help="parquet with (doc_id, text, ...)")
+    p.add_argument("--out", required=True,
+                   help="output dir: curated parquet partitioned by split")
+    p.add_argument("--no-neardup", action="store_true",
+                   help="skip the minhash-LSH near-dup stage")
+    p.add_argument("--k", type=int, default=8, help="minhash signature length")
+    p.add_argument("--band-rows", type=int, default=2, help="rows per LSH band")
+    p.add_argument("--threshold-milli", type=int, default=600,
+                   help="near-dup Jaccard threshold in 1/1000 units")
+    p.add_argument("--val-permille", type=int, default=100)
+    p.add_argument("--test-permille", type=int, default=100)
+    p.add_argument("--master", default=None)
+
     # plan audit: print the physical plan of any contract query — the
     # .explain() surface as a first-class CLI verb
     p = sub.add_parser("explain")
@@ -220,7 +238,7 @@ def main(argv: list[str] | None = None) -> None:
 
     args = ap.parse_args(argv)
     spark = build_session(f"cdc_engine-{args.cmd}", master=args.master)
-    if args.cmd not in ("neardup", "changes", "mview", "rollback", "tag", "fsck", "lookup", "explain", "rebucket"):
+    if args.cmd not in ("neardup", "changes", "mview", "rollback", "tag", "fsck", "lookup", "explain", "rebucket", "curate"):
         cfg = CdcConfig(
             events_per_epoch=args.events_per_epoch,
             n_buckets=args.n_buckets,
@@ -349,6 +367,22 @@ def main(argv: list[str] | None = None) -> None:
             "dropped": n_docs - n_out,
             "clusters": comps.select("component").distinct().count(),
         }))
+    elif args.cmd == "curate":
+        from cdc_engine.curate import curate
+
+        docs = spark.read.parquet(args.docs)
+        curated, report = curate(
+            docs,
+            neardup=not args.no_neardup,
+            k=args.k,
+            band_rows=args.band_rows,
+            threshold_milli=args.threshold_milli,
+            val_permille=args.val_permille,
+            test_permille=args.test_permille,
+        )
+        curated.write.mode("errorifexists").partitionBy("split").parquet(args.out)
+        curated.unpersist()
+        print(json.dumps(report))
     elif args.cmd == "explain":
         from cdc_engine.contract import QUERIES
 
