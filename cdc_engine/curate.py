@@ -41,6 +41,8 @@ def curate(
     k: int = 8,
     band_rows: int = 2,
     threshold_milli: int = 600,
+    min_words: int = 25,
+    max_words: int = 90,
     val_permille: int = 100,
     test_permille: int = 100,
 ) -> tuple[DataFrame, dict]:
@@ -120,7 +122,7 @@ def curate(
 
         # 4. Quality funnel: keep passes; attribute every loss to its
         # first failing rule (one groupBy over the narrow funnel relation).
-        fun = quality_funnel(docs3)
+        fun = quality_funnel(docs3, min_words=min_words, max_words=max_words)
         funnel_counts = {
             r["first_fail"]: r["n"]
             for r in fun.groupBy("first_fail")

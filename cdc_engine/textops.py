@@ -668,9 +668,14 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_funnel(docs: DataFrame) -> DataFrame:
+def quality_funnel(
+    docs: DataFrame, min_words: int = 25, max_words: int = 90
+) -> DataFrame:
     """Gopher-style staged quality-filter funnel [Rae et al. 2021 §A1.1],
-    thresholds scaled to the synthetic corpus: five rules evaluated in a
+    default thresholds scaled to the synthetic sf0.01 corpus (the contract
+    oracle pins THESE defaults; `min_words`/`max_words` let a caller —
+    `main.py curate` — retune the length band per corpus, exactly as Gopher
+    tunes per source): five rules evaluated in a
     FIXED order, per-doc pass flags plus the first failing stage — the
     shape a production pipeline needs to attribute retention loss to a
     stage (the funnel report is one groupBy over first_fail).
@@ -708,7 +713,7 @@ def quality_funnel(docs: DataFrame) -> DataFrame:
         * F.size(F.array_distinct(toks))
         / F.greatest(n_words, F.lit(1))
     ).cast("long")
-    r1 = ((n_words >= 25) & (n_words <= 90)).cast("int")
+    r1 = ((n_words >= min_words) & (n_words <= max_words)).cast("int")
     r2 = ((mwl_milli >= 3000) & (mwl_milli <= 10000)).cast("int")
     r3 = (stop >= 2).cast("int")
     r4 = (punct_milli <= 150).cast("int")

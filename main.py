@@ -222,6 +222,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--band-rows", type=int, default=2, help="rows per LSH band")
     p.add_argument("--threshold-milli", type=int, default=600,
                    help="near-dup Jaccard threshold in 1/1000 units")
+    p.add_argument("--min-words", type=int, default=25,
+                   help="quality funnel r1 lower word bound (tune per corpus)")
+    p.add_argument("--max-words", type=int, default=90,
+                   help="quality funnel r1 upper word bound (tune per corpus)")
     p.add_argument("--val-permille", type=int, default=100)
     p.add_argument("--test-permille", type=int, default=100)
     p.add_argument("--master", default=None)
@@ -377,6 +381,8 @@ def main(argv: list[str] | None = None) -> None:
             k=args.k,
             band_rows=args.band_rows,
             threshold_milli=args.threshold_milli,
+            min_words=args.min_words,
+            max_words=args.max_words,
             val_permille=args.val_permille,
             test_permille=args.test_permille,
         )
