@@ -178,3 +178,49 @@ def test_video_frame_features_sampling(spark):
             assert r["px_sum"] == sum(vals)
             assert (r["px_min"], r["px_max"]) == (min(vals), max(vals))
             assert (r["first_px"], r["last_px"]) == (vals[0], vals[-1])
+
+
+# ---- property-based round-trips (pure-python codecs, no Spark) ------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+DIGESTS = st.binary(min_size=16, max_size=16)
+
+
+@settings(max_examples=200, deadline=None)
+@given(digest=DIGESTS)
+def test_prop_bmp_round_trip(digest):
+    w, h, vals = _decode_bmp(_encode_bmp(digest))
+    assert (w, h) == (BMP_W, BMP_H)
+    assert vals == [digest[j % 16] for j in range(BMP_W * BMP_H * 3)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(digest=DIGESTS)
+def test_prop_wav_round_trip_signedness(digest):
+    samples = _decode_wav(_encode_wav(digest))
+    assert len(samples) == WAV_N_SAMPLES
+    for i, s in enumerate(samples):
+        lo, hi = digest[(2 * i) % 16], digest[(2 * i + 1) % 16]
+        expect = lo | (hi << 8)
+        if expect >= 0x8000:
+            expect -= 0x10000  # int16 sign
+        assert s == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(digest=DIGESTS, n_frames=st.integers(min_value=1, max_value=12))
+def test_prop_avi_round_trip(digest, n_frames):
+    w, h, frames = _demux_avi(_encode_avi(digest, n_frames))
+    assert (w, h) == (BMP_W, BMP_H)
+    assert len(frames) == n_frames
+    for f, frame in enumerate(frames):
+        assert frame == _frame_pixels(digest, f)
+
+
+@settings(max_examples=60, deadline=None)
+@given(digest=DIGESTS, cut=st.integers(min_value=12, max_value=200))
+def test_prop_avi_truncation_always_rejected(digest, cut):
+    blob = _encode_avi(digest)
+    with pytest.raises(ValueError):
+        _demux_avi(blob[: len(blob) - cut])
