@@ -24,8 +24,9 @@ never reaches the driver.
 
 The composition intentionally matches the public recipe lineage
 (C4/Gopher/RefinedWeb): scrub -> dedup (exact then fuzzy) -> quality ->
-holdout. SPEC parity: BASELINE.json names webtext curation as the axis-B
-workload; this verb is its one-command form.
+holdout. SPEC parity: the graft cell's payload is webtext
+[SPEC BASELINE.json graft_cell]; this verb is the one-command form of the
+webtext training-data pass built from the §2.11-2.14 operators.
 """
 
 from __future__ import annotations
