@@ -52,33 +52,42 @@ def curate(
     Returns (curated, report): ``curated`` keeps every input column except
     that ``text`` is the scrubbed text, plus ``split`` — ready for
     ``.write.partitionBy("split")``; ``report`` is a JSON-able dict of
-    funnel counts (all bounded aggregates, computed on the SAME cached
-    intermediate relations the pipeline itself consumes, so reporting adds
-    no recompute of a corpus-sized stage)."""
+    funnel counts.
+
+    Reporting rides the pipeline's OWN jobs: each persisted stage is
+    materialized by exactly one count() (the count IS that stage's report
+    number), and every other scalar (PII sums, per-rule funnel counts,
+    curated word total, split sizes) is an ``Observation`` attached to a
+    node those same jobs already execute — so a full curate() run is
+    three bounded actions (scrub+exact-dedup, near-dup, finalize) plus the
+    components loop's own rounds; no report entry re-runs a corpus-sized
+    stage. Each Observation sits on a node referenced exactly once in the
+    job that fires it (a twice-referenced subtree would double-count its
+    CollectMetrics accumulator)."""
+    from pyspark.sql import Observation
+
     from cdc_engine.dedup_text import (
         connected_components,
         exact_dedup_canonical,
         jaccard_on_lsh,
     )
-    from cdc_engine.sampling import dataset_splits
+    from cdc_engine.sampling import split_column
     from cdc_engine.textops import pii_scrub, quality_funnel
 
-    report: dict = {"docs_in": docs.count()}
+    report: dict = {}
 
-    # 1. PII scrub: replace text with the redacted form; keep counts.
+    # 1. PII scrub: replace text with the redacted form. The redaction
+    # counts ride the materialization job as an Observation (attached
+    # BELOW the persist, single-referenced until the count fires it).
     scrubbed = pii_scrub(docs, col="text")
-    pii = scrubbed.agg(
+    base_cols = [c for c in docs.columns if c != "text"]
+    obs_pii = Observation("curate_pii")
+    docs1 = scrubbed.observe(
+        obs_pii,
         F.sum("n_emails").alias("e"),
         F.sum("n_ips").alias("i"),
         F.sum("n_phones").alias("p"),
-    ).collect()[0]
-    report["pii_redactions"] = {
-        "emails": int(pii["e"] or 0),
-        "ips": int(pii["i"] or 0),
-        "phones": int(pii["p"] or 0),
-    }
-    base_cols = [c for c in docs.columns if c != "text"]
-    docs1 = scrubbed.select(*base_cols, F.col("clean_text").alias("text"))
+    ).select(*base_cols, F.col("clean_text").alias("text"))
 
     # The near-dup chain re-reads the doc relation several times (tokens,
     # signatures, candidate rescore) — cache the scrubbed corpus once for
@@ -93,6 +102,14 @@ def curate(
 
     docs1 = _persist(docs1)
     try:
+        report["docs_in"] = docs1.count()  # job 1: scrub + cache + obs_pii
+        pii = obs_pii.get
+        report["pii_redactions"] = {
+            "emails": int(pii["e"] or 0),
+            "ips": int(pii["i"] or 0),
+            "phones": int(pii["p"] or 0),
+        }
+
         # 2. Exact dedup: keep the canonical (min doc_id) member per
         # identical-content group — one keyed shuffle on md5(text).
         canon = exact_dedup_canonical(docs1)
@@ -102,7 +119,7 @@ def curate(
             "left_anti",
         )
         docs2 = _persist(docs2)
-        report["after_exact_dedup"] = docs2.count()
+        report["after_exact_dedup"] = docs2.count()  # job 2 (from docs1 cache)
 
         # 3. Near dedup (optional): LSH candidates -> Jaccard >= threshold
         # -> connected components -> drop non-canonical members.
@@ -121,42 +138,53 @@ def curate(
             docs3 = docs2
             report["after_near_dedup"] = report["after_exact_dedup"]
 
-        # 4. Quality funnel: keep passes; attribute every loss to its
-        # first failing rule (one groupBy over the narrow funnel relation).
-        fun = quality_funnel(docs3, min_words=min_words, max_words=max_words)
-        funnel_counts = {
-            r["first_fail"]: r["n"]
-            for r in fun.groupBy("first_fail")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        report["funnel"] = {
-            stage: int(funnel_counts.get(stage, 0))
-            for stage in ("r1_len", "r2_wordlen", "r3_stop", "r4_punct", "r5_ttr", "pass")
-        }
-        keep = fun.where(F.col("passed") == 1).select("doc_id", "n_words")
-        docs4 = docs3.join(keep, "doc_id")
-        report["after_quality"] = report["funnel"]["pass"]
-        report["n_words_curated"] = int(
-            docs4.agg(F.sum("n_words")).collect()[0][0] or 0
+        # 4+5. Quality funnel + holdout assignment, ONE finalize job:
+        # per-rule loss attribution and the curated word total observe the
+        # funnel relation (referenced once, via keep), split sizes observe
+        # the top-level curated relation; split assignment is an inline
+        # expression on doc_id — no self-join.
+        fun_stages = ("r1_len", "r2_wordlen", "r3_stop", "r4_punct", "r5_ttr", "pass")
+        obs_fun = Observation("curate_funnel")
+        fun = quality_funnel(docs3, min_words=min_words, max_words=max_words).observe(
+            obs_fun,
+            *[
+                F.sum(F.when(F.col("first_fail") == s, 1).otherwise(0)).alias(s)
+                for s in fun_stages
+            ],
+            F.sum(F.when(F.col("passed") == 1, F.col("n_words"))).alias("_nw"),
         )
-
-        # 5. Holdout assignment: content-stable per-mille split on doc_id.
-        splits = dataset_splits(
-            docs4,
-            key="doc_id",
-            val_permille=val_permille,
-            test_permille=test_permille,
-        ).select("doc_id", "split")
-        curated = docs4.drop("n_words").join(splits, "doc_id")
-        report["splits"] = {
-            r["split"]: r["n"]
-            for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
-        }
+        keep = fun.where(F.col("passed") == 1).select("doc_id")
+        obs_split = Observation("curate_splits")
+        curated = (
+            docs3.join(keep, "doc_id")
+            .withColumn(
+                "split",
+                split_column(
+                    F.col("doc_id"),
+                    val_permille=val_permille,
+                    test_permille=test_permille,
+                ),
+            )
+            .observe(
+                obs_split,
+                *[
+                    F.sum(F.when(F.col("split") == s, 1).otherwise(0)).alias(s)
+                    for s in ("train", "val", "test")
+                ],
+            )
+        )
         # materialize the result before unpersisting its inputs; curated
         # stays cached for the caller's write
         curated = curated.persist()
-        curated.count()
+        curated.count()  # finalize job: funnel + join + split + both obs
+        funnel_counts = obs_fun.get
+        report["funnel"] = {s: int(funnel_counts[s] or 0) for s in fun_stages}
+        report["after_quality"] = report["funnel"]["pass"]
+        report["n_words_curated"] = int(funnel_counts["_nw"] or 0)
+        sp = obs_split.get
+        report["splits"] = {
+            s: int(sp[s]) for s in ("train", "val", "test") if int(sp[s] or 0)
+        }
     finally:
         for df in persisted:
             df.unpersist()

@@ -245,7 +245,13 @@ def delta_lsh_candidates(
     new_old = x.join(
         y,
         (F.col("x.band") == F.col("y.band"))
-        & (F.col("x.band_key") == F.col("y.band_key")),
+        & (F.col("x.band_key") == F.col("y.band_key"))
+        # guard: if the maintained index overlaps the new batch (e.g. an
+        # epoch appended twice through the unprotected old_banded API),
+        # least/greatest would emit self-pairs (da==db) that the
+        # full-corpus lsh_candidate_pairs can never produce — keep the
+        # documented pair-set equivalence under overlap
+        & (F.col("x.doc_id") != F.col("y.doc_id")),
     ).select(
         F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("da"),
         F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("db"),

@@ -847,8 +847,19 @@ class SnapLake:
             if rng is None:
                 continue
             flo, fhi = rng
-            if (hi is not None and flo > hi) or (lo is not None and fhi < lo):
-                return True
+            try:
+                if (hi is not None and flo > hi) or (lo is not None and fhi < lo):
+                    return True
+            except TypeError:
+                # caller-supplied bound type incomparable with the column's
+                # recorded footer-stat type (e.g. int bound on a string
+                # column) — fail with the column named, not a bare
+                # TypeError from deep inside the scan
+                raise ValueError(
+                    f"col_bounds[{c!r}]: bound types ({type(lo).__name__}, "
+                    f"{type(hi).__name__}) are not comparable with the "
+                    f"column's recorded stats type {type(flo).__name__}"
+                ) from None
         return False
 
     def scan(

@@ -30,6 +30,19 @@ def permille_bucket(col, salt: str = ""):
     return F.pmod(h, F.lit(1000))
 
 
+def split_column(col, val_permille: int = 100, test_permille: int = 100,
+                 salt: str = "split:"):
+    """The split-assignment EXPRESSION (train/val/test string column) —
+    usable inline via withColumn, so a pipeline that already carries the
+    key needn't self-join against dataset_splits' narrow projection."""
+    b = permille_bucket(col, salt)
+    return (
+        F.when(b < test_permille, "test")
+        .when(b < test_permille + val_permille, "val")
+        .otherwise("train")
+    )
+
+
 def dataset_splits(
     df: DataFrame,
     key: str = "doc_id",
@@ -40,11 +53,7 @@ def dataset_splits(
     """(key, bucket, split) with split in {train, val, test}: the holdout
     assignment every training pipeline needs, stable under re-ingest."""
     b = permille_bucket(F.col(key), salt)
-    split = (
-        F.when(b < test_permille, "test")
-        .when(b < test_permille + val_permille, "val")
-        .otherwise("train")
-    )
+    split = split_column(F.col(key), val_permille, test_permille, salt)
     return df.select(
         F.col(key), b.cast("int").alias("bucket"), split.alias("split")
     )

@@ -112,6 +112,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="new bucket count; grow when per-bucket bytes "
                    "outgrow executor memory, shrink when trickle epochs "
                    "smear into too-small files")
+    p.add_argument("--verify", action="store_true",
+                   help="state_hash the table before AND after the "
+                   "rewrite and fail if they differ (two extra "
+                   "full-table scans)")
     p.add_argument("--master", default=None)
 
     p = sub.add_parser("expire")
@@ -281,10 +285,14 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(r or {}))
     elif args.cmd == "rebucket":
         lake = SnapLake(args.lake)
-        n, h = lake.state_hash(spark)
+        before = lake.state_hash(spark) if args.verify else None
         r = lake.rebucket(spark, args.to_buckets)
         n2, h2 = lake.state_hash(spark)
-        assert (n, h) == (n2, h2), "rebucket changed logical state"
+        # explicit raise, not assert: must survive `python -O`
+        if before is not None and before != (n2, h2):
+            raise RuntimeError(
+                f"rebucket changed logical state: {before} -> {(n2, h2)}"
+            )
         print(json.dumps({**(r or {"noop": True}), "rows": n2, "state_hash": h2}))
     elif args.cmd == "expire":
         lake = SnapLake(args.lake)

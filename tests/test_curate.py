@@ -70,9 +70,28 @@ def test_curate_funnel_and_survivors(spark):
         curated.unpersist()
 
 
-def test_curate_no_neardup_keeps_near_duplicates(spark):
-    curated, report = curate(_docs(spark), neardup=False)
+def test_curate_no_neardup_keeps_near_duplicates(spark, monkeypatch):
+    # reporting rides the pipeline's own actions (Observations): a
+    # loop-free curate() run is exactly its three materialization counts —
+    # scrub+cache, exact-dedup, finalize — never an extra per-report-entry
+    # collect/agg (Spark JOB counts are AQE-stage-dependent; ACTION count
+    # is the deterministic invariant)
+    # patch the CONCRETE class (pyspark.sql.DataFrame is the abstract
+    # parent in Spark 4; curate's frames are classic.DataFrame instances)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    actions = {"count": 0, "collect": 0}
+    orig_count, orig_collect = DataFrame.count, DataFrame.collect
+    with monkeypatch.context() as m:
+        m.setattr(DataFrame, "count", lambda self: (
+            actions.__setitem__("count", actions["count"] + 1),
+            orig_count(self))[1])
+        m.setattr(DataFrame, "collect", lambda self: (
+            actions.__setitem__("collect", actions["collect"] + 1),
+            orig_collect(self))[1])
+        curated, report = curate(_docs(spark), neardup=False)
     try:
+        assert actions == {"count": 3, "collect": 0}, actions
         assert report["after_near_dedup"] == report["after_exact_dedup"] == 5
         ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
         assert 3 in ids  # the near-dup survives when the stage is off

@@ -99,3 +99,21 @@ def test_epoch_accumulation_telescopes(spark):
         index = index.unionByName(banded_signatures(ep))  # epoch APPEND
     want = {(r.da, r.db) for r in full_pairs(docs).collect()}
     assert acc == want and acc
+
+
+def test_overlapping_index_emits_no_self_pairs(spark):
+    """ADVICE r5: if the maintained index already contains the new batch
+    (an epoch appended twice through the unprotected old_banded API), the
+    new x old join must not emit self-pairs (da == db) — the pair set
+    stays exactly what lsh_candidate_pairs could produce."""
+    docs = _docs(spark)
+    b = permille_bucket(F.col("doc_id"), "epoch:")
+    old, new = docs.where(b < 800), docs.where(b >= 800)
+    # index wrongly holds old AND the new epoch already
+    index = banded_signatures(docs)
+    got = {(r.da, r.db) for r in
+           delta_lsh_candidates(None, new, old_banded=index).collect()}
+    assert got and all(da != db for da, db in got)
+    # and it still equals the clean delta set
+    want = {(r.da, r.db) for r in delta_lsh_candidates(old, new).collect()}
+    assert got == want
