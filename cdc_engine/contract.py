@@ -625,6 +625,20 @@ def q_lsh_candidates(spark, sf):
     return _p(lsh_candidate_pairs(t(spark, sf, "documents"), k=8, band_rows=2), "da", "db")
 
 
+def q_minhash_jaccard_est(spark, sf):
+    """Signature-agreement Jaccard estimate over LSH candidates
+    (dedup_text.minhash_jaccard_est): the O(k)-per-pair rescore a pipeline
+    uses when exact re-tokenization is too expensive — candidates join the
+    k-long signature vectors, agreement counted in-row via zip_with."""
+    from cdc_engine.dedup_text import minhash_jaccard_est
+
+    return _p(
+        minhash_jaccard_est(t(spark, sf, "documents"), k=8, band_rows=2),
+        "da",
+        "db",
+    )
+
+
 def q_classifier_scores(spark, sf):
     return _p(classifier_scores(t(spark, sf, "documents")), "doc_id")
 
@@ -677,6 +691,19 @@ def q_ann_ivf_assign(spark, sf):
 
 def q_ann_ivf_query_topk(spark, sf):
     return ivf_query_topk(t(spark, sf, "embeddings"), query_vec_id=0, n_cells=16, k=10)
+
+
+def q_ann_recall_at_k(spark, sf):
+    """IVF recall@10 vs brute-force ground truth over a 20-query panel
+    (simsearch.ann_recall_at_k) — the eval every ANN index is tuned by;
+    the oracle re-derives truth, assignment, cell re-rank and the overlap
+    from the same quantized-dot arithmetic."""
+    from cdc_engine.simsearch import ann_recall_at_k
+
+    return _p(
+        ann_recall_at_k(t(spark, sf, "embeddings"), n_cells=16, k=10, n_queries=20),
+        "qid",
+    )
 
 
 def q_ann_srp_buckets(spark, sf):
@@ -1144,6 +1171,28 @@ def q_multimodal_features(spark, sf):
     return _p(media_features(synth_media_blobs(t(spark, sf, "documents"))), "doc_id")
 
 
+def q_video_frame_features(spark, sf):
+    """REAL RIFF/AVI round-trip (r5 closed the last decode stub; this is
+    its contract query): a spec-shaped AVI container is synthesized per
+    document (4 uncompressed bottom-up DIB frames, JUNK alignment chunk,
+    idx1 index; frame f pixel byte j = md5(text) digest[(f+j) % 16]), then
+    DEMUXED back — chunk-tree walk, stride/row-order decode, idx1
+    cross-check — and every 2nd frame reduces to integer pixel stats. The
+    DuckDB oracle recomputes the stats from md5 hex arithmetic alone (it
+    never sees the container), so a demuxer that mishandles word alignment,
+    the bottom-up row order, stride padding, or frame indexing
+    hash-mismatches."""
+    from cdc_engine.multimodal import synth_video_blobs, video_frame_features
+
+    return _p(
+        video_frame_features(
+            synth_video_blobs(t(spark, sf, "documents")), sample_every=2
+        ),
+        "doc_id",
+        "frame_idx",
+    )
+
+
 # Replay-oracle handoff dir: the Spark query (which knows sf_dir)
 # materializes the independent pandas-oracle final state into ONE FILE PER
 # SF DIR (md5(realpath(sf_dir)) in the name, written via atomic rename), so
@@ -1355,6 +1404,19 @@ def q_bpe_encode(spark, sf):
     from cdc_engine.textops import bpe_encode
 
     return bpe_encode(t(spark, sf, "documents"))
+
+
+def q_bpe_train(spark, sf):
+    """The full BPE vocabulary-induction LOOP (textops.bpe_train, 8
+    merges): count pairs over the persisted word-frequency relation, merge
+    the argmax (ties pair-ascending), re-segment via the chained marker
+    replace, repeat. Iterative exact-oracle family (kmeans_refine /
+    pagerank precedent): the DuckDB oracle unrolls the same 8 rounds as
+    chained CTEs generated from the SAME round structure, so argmax
+    tie-breaks and re-segmentation semantics cannot drift."""
+    from cdc_engine.textops import bpe_train
+
+    return bpe_train(t(spark, sf, "documents"), n_merges=8)
 
 
 def q_changes_feed(spark, sf):
@@ -1838,6 +1900,21 @@ ORACLE_SQL: dict[str, str] = {
         WITH {{LSH}}
         SELECT da, db FROM cand ORDER BY da, db
     """,
+    # MinHash component-agreement estimate: candidates join the signature
+    # relation on both sides, per-component equality summed
+    "minhash_jaccard_est": """
+        WITH {LSH},
+        m AS (
+            SELECT c.da, c.db,
+                   CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db AND sb.i = sa.i
+            GROUP BY c.da, c.db)
+        SELECT da, db, n_match,
+               CAST(FLOOR(1000 * n_match / 8.0) AS BIGINT) AS est_milli
+        FROM m ORDER BY da, db
+    """,
     # Kneser-Ney bigram statistics: parallel-unnest zip = Spark's in-row
     # position transform; both KN stats re-aggregate the counts relation
     "bigram_lm_stats": """
@@ -1952,6 +2029,40 @@ ORACLE_SQL: dict[str, str] = {
               FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q, range(1, 65) t(i)
               GROUP BY e.vec_id)
         SELECT vec_id, dot_q FROM d ORDER BY dot_q DESC, vec_id LIMIT 10
+    """,
+    # recall@10 of the IVF path vs brute truth over the 20-query panel
+    # (qids 16..35): same quantized-dot arithmetic on both sides
+    "ann_recall_at_k": f"""
+        WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                    WHERE vec_id >= 16 AND vec_id < 36),
+        d AS (SELECT e.vec_id, q.qid, {_DOT_SQL.format(a='e.embedding', b='q.qe')} AS dq
+              FROM embeddings e, qs q, range(1, 65) t(i)
+              WHERE e.vec_id <> q.qid GROUP BY e.vec_id, q.qid),
+        truth AS (SELECT qid, vec_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dq DESC, vec_id) AS rn FROM d)
+                  WHERE rn <= 10),
+        c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+        s AS (SELECT e.vec_id, c.cell, {_DOT_SQL.format(a='e.embedding', b='c.ce')} AS cd
+              FROM embeddings e, c, range(1, 65) t(i) GROUP BY e.vec_id, c.cell),
+        r AS (SELECT vec_id, cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) AS rn FROM s)
+              WHERE rn = 1),
+        qc AS (SELECT q.qid, r.cell FROM qs q JOIN r ON r.vec_id = q.qid),
+        mem AS (SELECT qc.qid, r.vec_id FROM r JOIN qc ON r.cell = qc.cell
+                WHERE r.vec_id <> qc.qid),
+        ad AS (SELECT m.qid, m.vec_id, {_DOT_SQL.format(a='e.embedding', b='q.qe')} AS dq
+               FROM mem m JOIN embeddings e ON e.vec_id = m.vec_id
+                          JOIN qs q ON q.qid = m.qid, range(1, 65) t(i)
+               GROUP BY m.qid, m.vec_id),
+        approx AS (SELECT qid, vec_id FROM
+                    (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dq DESC, vec_id) AS rn FROM ad)
+                   WHERE rn <= 10),
+        ov AS (SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS n
+               FROM truth t JOIN approx a ON t.qid = a.qid AND t.vec_id = a.vec_id
+               GROUP BY t.qid)
+        SELECT q.qid, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+               CAST(FLOOR(1000 * COALESCE(ov.n, 0) / 10.0) AS BIGINT) AS recall_milli
+        FROM qs q LEFT JOIN ov ON ov.qid = q.qid ORDER BY q.qid
     """,
     "cms_heavy_hitters": """
         WITH cells AS (SELECT t.j,
@@ -2863,9 +2974,33 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id
     """,
+    # Recomputes the sampled AVI frame stats from md5(text) HEX ALONE:
+    # frame f pixel byte j (j in 0..44, 5x3 RGB) = digest byte (f+j)%16;
+    # 4 frames per container, every 2nd sampled -> frames {0, 2}. The Spark
+    # side must round-trip the same numbers through a real RIFF/AVI encode +
+    # chunk-walk demux (word alignment, JUNK skip, bottom-up stride rows,
+    # idx1 cross-check) to match.
+    "video_frame_features": """
+        WITH m AS (
+            SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
+        ),
+        fr AS (SELECT doc_id, h, unnest([0, 2]) AS f FROM m)
+        SELECT doc_id,
+               CAST(f AS INTEGER) AS frame_idx,
+               4::INTEGER AS n_frames,
+               (SELECT CAST(SUM(('0x' || substring(h, ((f + j) % 16) * 2 + 1, 2))::BIGINT) AS BIGINT)
+                  FROM range(0, 45) t(j)) AS px_sum,
+               (SELECT CAST(MIN(('0x' || substring(h, ((f + j) % 16) * 2 + 1, 2))::BIGINT) AS BIGINT)
+                  FROM range(0, 45) t(j)) AS px_min,
+               (SELECT CAST(MAX(('0x' || substring(h, ((f + j) % 16) * 2 + 1, 2))::BIGINT) AS BIGINT)
+                  FROM range(0, 45) t(j)) AS px_max,
+               ('0x' || substring(h, (f % 16) * 2 + 1, 2))::BIGINT AS first_px,
+               ('0x' || substring(h, ((f + 44) % 16) * 2 + 1, 2))::BIGINT AS last_px
+        FROM fr ORDER BY doc_id, frame_idx
+    """,
 }
 
-for _k in ("lsh_candidates", "dedup_delta", "jaccard_on_lsh", "edit_distance_rescore", "neardup_components", "neardup_survivors"):
+for _k in ("lsh_candidates", "minhash_jaccard_est", "dedup_delta", "jaccard_on_lsh", "edit_distance_rescore", "neardup_components", "neardup_survivors"):
     ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{LSH}", _LSH_CTES)
 
 from cdc_engine.textops import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE  # noqa: E402
@@ -2928,6 +3063,50 @@ def _bpe_encode_oracle() -> str:
 
 ORACLE_SQL["bpe_encode"] = _bpe_encode_oracle()
 
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """bpe_train oracle: the Sennrich loop UNROLLED as chained CTEs — round
+    r's word relation w{r} applies the argmax merge b{r} (scalar
+    subqueries) to w{r-1}; pair counting mirrors textops.bpe_train exactly
+    (symbols = marker-split, pair key = a || '_' || b, argmax = count DESC
+    then pair ASC). Generated from the same round structure the Spark loop
+    executes, so the two cannot drift."""
+    ctes = [
+        """w0 AS (
+            SELECT regexp_replace(w, '(.)', '_\\1', 'g') AS r, COUNT(*) AS wf
+            FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+                FROM documents)
+            GROUP BY 1
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""p{k} AS (
+            SELECT p, CAST(SUM(wf) AS BIGINT) AS n FROM (
+                SELECT wf, unnest(list_transform(range(1, len(s)),
+                       i -> s[i] || '_' || s[i + 1])) AS p
+                FROM (SELECT wf, list_filter(string_split(r, '_'), x -> x <> '') AS s
+                      FROM w{k - 1}))
+            GROUP BY p
+        )""")
+        ctes.append(f"""b{k} AS (SELECT p, n FROM p{k} ORDER BY n DESC, p ASC LIMIT 1)""")
+        if k < n_merges:
+            ctes.append(f"""w{k} AS (
+            SELECT replace(r, (SELECT '_' || p FROM b{k}),
+                              (SELECT '_' || replace(p, '_', '') FROM b{k})) AS r, wf
+            FROM w{k - 1}
+        )""")
+    rows = "\n            UNION ALL ".join(
+        f"SELECT {k}::INT AS rank, string_split(p, '_')[1] AS a, "
+        f"string_split(p, '_')[2] AS b, n AS cnt FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n        ".join(ctes) + f"\n        SELECT * FROM ({rows}) ORDER BY rank"
+
+
+ORACLE_SQL["bpe_train"] = _bpe_train_oracle()
+
 # Dict ORDER is deliberate: the driver harness records exactly the first 50
 # entries per round. Rotation policy (round-3 verdict task 6, applied every
 # round since): every query must have a driver row dated within the last two
@@ -2987,60 +3166,20 @@ ORACLE_SQL["bpe_encode"] = _bpe_encode_oracle()
 #                           near-dup screening
 # All queries (window + tail) remain covered by the local dtype-sensitive DuckDB mirror
 # (tests/test_contract.py) regardless of the driver cap.
+# The external driver records only the FIRST 50 entries each round.
+# Window discipline (the two-round-green invariant): every query must have
+# a green driver row within the last two rounds, so each round the window
+# is (flagship) + (queries green only in round N-2) + (new queries needing
+# their first row); everything green in round N-1 rides the tail.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "cdc_replay_mini": q_cdc_replay_mini,
-    "simhash_candidates": q_simhash_candidates,
-    # ---- NEW this round: need their first driver row ----------------------
-    "incremental_mv": q_incremental_mv,
-    "line_dedup": q_line_dedup,
-    "dup_passage_scrub": q_dup_passage_scrub,
-    "pii_scrub": q_pii_scrub,
-    "url_canonicalize": q_url_canonicalize,
-    "changes_feed": q_changes_feed,
-    "bpe_pair_topk": q_bpe_pair_topk,
-    "bpe_encode": q_bpe_encode,  # new in r5 (close): frozen-merge BPE encode
-    "pagerank_domains": q_pagerank_domains,
-    "tfidf_topk": q_tfidf_topk,  # new in r5, must get its first row this round
-    "bm25_topk": q_bm25_topk,  # new in r5 (late): lexical retrieval top-k
-    "semdedup": q_semdedup,  # new in r5 (late): semantic dedup screen
-    "unigram_logprob": q_unigram_logprob,  # new in r5 (late): LM quality proxy
-    "quality_funnel": q_quality_funnel,  # new in r5 (late): Gopher rule funnel
-    "hybrid_rrf": q_hybrid_rrf,  # new in r5 (late): RRF hybrid retrieval
-    "pq_encode": q_pq_encode,  # new in r5 (late): product-quantization codes
-    "pq_adc_topk": q_pq_adc_topk,  # new in r5 (late): ADC top-k over PQ codes
-    "dup_ngram_share": q_dup_ngram_share,  # new in r5 (late): Gopher repetition rule
-    "corpus_shuffle": q_corpus_shuffle,  # new in r5 (late): distributed shuffle order
-    "cms_heavy_hitters": q_cms_heavy_hitters,  # new in r5 (late): count-min sketch
-    "scd2_history": q_scd2_history,
-    "contamination_check": q_contamination_check,
-    "seq_packing": q_seq_packing,
-    "mixture_weights": q_mixture_weights,
-    "stratified_topn": q_stratified_topn,
-    # ---- r03-only driver rows, rotated back into the window --------------
-    "cube_pricing": q_cube_pricing,
-    "median_by_type": q_median_by_type,
-    "range_join_clicks": q_range_join_clicks,
-    "lww_dedup_latest": q_lww_dedup_latest,
-    "hot_keys_topk": q_hot_keys_topk,
-    "distinct_exact": q_distinct_exact,
-    "running_window": q_running_window,
-    "except_diff": q_except_diff,
-    "intersect_users": q_intersect_users,
-    "udaf_value_by_type": q_udaf_value_by_type,
-    "semi_join_customers": q_semi_join_customers,
-    "tpch_q14_promo": q_tpch_q14_promo,
-    "window_rank_sources": q_window_rank_sources,
-    "stats_moments_value": q_stats_moments_value,
-    # ---- the rest of the 50-row window -----------------------------------
-    "cdc_final_state": q_cdc_final_state,
-    "cdc_merge_outcomes": q_cdc_merge_outcomes,
-    "ledger_anti_join": q_ledger_anti_join,
-    "dedup_delta": q_dedup_delta,
-    "classifier_scores": q_classifier_scores,
-    "bigram_lm_stats": q_bigram_lm_stats,
-    "neardup_survivors": q_neardup_survivors,
-    "edit_distance_rescore": q_edit_distance_rescore,
-    "kmeans_refine": q_kmeans_refine,
+    "cdc_replay_mini": q_cdc_replay_mini,  # flagship, always in-window
+    # ---- NEW in r6: need their first driver row ---------------------------
+    # (slots are inserted here as the round adds operators; 1+45+4 = 50)
+    "video_frame_features": q_video_frame_features,
+    "bpe_train": q_bpe_train,
+    "minhash_jaccard_est": q_minhash_jaccard_est,
+    "ann_recall_at_k": q_ann_recall_at_k,
+    # ---- r04-only driver rows, rotated back into the window ---------------
     "ann_ivf_query_topk": q_ann_ivf_query_topk,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -3051,20 +3190,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "denylist_scrub": q_denylist_scrub,
     "repetition_stats": q_repetition_stats,
-    # ---- deliberate tail under the 50-row driver cap (see header) --------
-    "epoch_stats": q_epoch_stats,  # r04-green; displaced by bpe_encode —
-    # its A1/A2 hash-agg + seq-range surface stays in-window via
-    # cdc_merge_outcomes / cdc_final_state / ledger_anti_join
-    "neardup_components": q_neardup_components,  # r04-green; displaced by semdedup
-    "jaccard_on_lsh": q_jaccard_on_lsh,  # r04-green; displaced by unigram_logprob
-    "rollup_pricing": q_rollup_pricing,  # r04-green; displaced by hybrid_rrf
-    "sliding_window_counts": q_sliding_window_counts,  # r04-green; displaced by pq_encode
-    "tpch_q5_region": q_tpch_q5_region,  # r04-green; displaced by pq_adc_topk
-    "session_windows": q_session_windows,  # r04-green; displaced by dup_ngram_share
-    "json_props_extract": q_json_props_extract,  # r04-green; displaced by corpus_shuffle
-    "dedup_canonical_map": q_dedup_canonical_map,  # r04-green; displaced by cms_heavy_hitters
-    "embedding_neardup_pairs": q_embedding_neardup_pairs,  # r04-green; displaced by quality_funnel
-    "multimodal_features": q_multimodal_features,  # r04-green; displaced by bm25_topk
+    "epoch_stats": q_epoch_stats,
+    "neardup_components": q_neardup_components,
+    "jaccard_on_lsh": q_jaccard_on_lsh,
+    "rollup_pricing": q_rollup_pricing,
+    "sliding_window_counts": q_sliding_window_counts,
+    "tpch_q5_region": q_tpch_q5_region,
+    "session_windows": q_session_windows,
+    "json_props_extract": q_json_props_extract,
+    "dedup_canonical_map": q_dedup_canonical_map,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "multimodal_features": q_multimodal_features,
     "simhash_fingerprints": q_simhash_fingerprints,
     "multimodal_blob_meta": q_multimodal_blob_meta,
     "lsh_candidates": q_lsh_candidates,
@@ -3085,8 +3221,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_prior_click": q_asof_prior_click,
     "vocab_df_topk": q_vocab_df_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
-    "union_schema_merge": q_union_schema_merge,  # r04-green; displaced by dedup_delta
-    "broadcast_dim_join": q_broadcast_dim_join,  # r04-green; displaced by classifier_scores
-    "tpch_q1_pricing": q_tpch_q1_pricing,  # r04-green; displaced by bigram_lm_stats
-    "tpch_q3_topk": q_tpch_q3_topk,  # r04-green; displaced by neardup_survivors
+    "union_schema_merge": q_union_schema_merge,
+    "broadcast_dim_join": q_broadcast_dim_join,
+    "tpch_q1_pricing": q_tpch_q1_pricing,
+    "tpch_q3_topk": q_tpch_q3_topk,
+    # ---- tail: green in r05, due back in the r07 window -------------------
+    "simhash_candidates": q_simhash_candidates,
+    "incremental_mv": q_incremental_mv,
+    "line_dedup": q_line_dedup,
+    "dup_passage_scrub": q_dup_passage_scrub,
+    "pii_scrub": q_pii_scrub,
+    "url_canonicalize": q_url_canonicalize,
+    "changes_feed": q_changes_feed,
+    "bpe_pair_topk": q_bpe_pair_topk,
+    "bpe_encode": q_bpe_encode,
+    "pagerank_domains": q_pagerank_domains,
+    "tfidf_topk": q_tfidf_topk,
+    "bm25_topk": q_bm25_topk,
+    "semdedup": q_semdedup,
+    "unigram_logprob": q_unigram_logprob,
+    "quality_funnel": q_quality_funnel,
+    "hybrid_rrf": q_hybrid_rrf,
+    "pq_encode": q_pq_encode,
+    "pq_adc_topk": q_pq_adc_topk,
+    "dup_ngram_share": q_dup_ngram_share,
+    "corpus_shuffle": q_corpus_shuffle,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "scd2_history": q_scd2_history,
+    "contamination_check": q_contamination_check,
+    "seq_packing": q_seq_packing,
+    "mixture_weights": q_mixture_weights,
+    "stratified_topn": q_stratified_topn,
+    "cube_pricing": q_cube_pricing,
+    "median_by_type": q_median_by_type,
+    "range_join_clicks": q_range_join_clicks,
+    "lww_dedup_latest": q_lww_dedup_latest,
+    "hot_keys_topk": q_hot_keys_topk,
+    "distinct_exact": q_distinct_exact,
+    "running_window": q_running_window,
+    "except_diff": q_except_diff,
+    "intersect_users": q_intersect_users,
+    "udaf_value_by_type": q_udaf_value_by_type,
+    "semi_join_customers": q_semi_join_customers,
+    "tpch_q14_promo": q_tpch_q14_promo,
+    "window_rank_sources": q_window_rank_sources,
+    "stats_moments_value": q_stats_moments_value,
+    "cdc_final_state": q_cdc_final_state,
+    "cdc_merge_outcomes": q_cdc_merge_outcomes,
+    "ledger_anti_join": q_ledger_anti_join,
+    "dedup_delta": q_dedup_delta,
+    "classifier_scores": q_classifier_scores,
+    "bigram_lm_stats": q_bigram_lm_stats,
+    "neardup_survivors": q_neardup_survivors,
+    "edit_distance_rescore": q_edit_distance_rescore,
+    "kmeans_refine": q_kmeans_refine,
 }

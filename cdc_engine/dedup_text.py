@@ -333,6 +333,53 @@ def jaccard_on_lsh(
     return out.where(F.col("jacc_milli") >= threshold_milli)
 
 
+def minhash_jaccard_est(docs: DataFrame, k: int = 8, band_rows: int = 2) -> DataFrame:
+    """Signature-agreement Jaccard ESTIMATE over LSH candidate pairs —
+    est = |{i : sig_a[i] == sig_b[i]}| / k, the unbiased MinHash estimator
+    (P[component match] = J). This is the rescore a 100 TB pipeline runs
+    when exact re-tokenization is too expensive: candidates join the
+    k-long signature VECTORS (k*8 bytes per doc, vs the full token arrays
+    jaccard_on_lsh carries), and agreement is an in-row zip_with — per-pair
+    cost O(k), independent of document length.
+
+    Shares ONE distinct-token relation between the signatures and the
+    banding (the jaccard_on_lsh staging discipline). Returns
+    (da, db, n_match, est_milli = floor(1000 * n_match / k)) — exact
+    integers, cross-engine stable."""
+    tok = doc_tokens(docs).select("doc_id", "w")
+    cand = lsh_candidate_pairs(docs, k, band_rows, tok=tok)
+    vec = (
+        minhash_signatures(docs, k, tok=tok)
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "minhash"))),
+                lambda s: s["minhash"],
+            ).alias("sv")
+        )
+    )
+    a, b = vec.alias("a"), vec.alias("b")
+    return (
+        cand.join(a, F.col("da") == F.col("a.doc_id"))
+        .join(b, F.col("db") == F.col("b.doc_id"))
+        .select(
+            "da",
+            "db",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("a.sv"), F.col("b.sv"), lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            .cast("long")
+            .alias("n_match"),
+        )
+        .withColumn(
+            "est_milli", F.floor(F.lit(1000) * F.col("n_match") / F.lit(k)).cast("long")
+        )
+    )
+
+
 SIMHASH_BITS = 48
 
 

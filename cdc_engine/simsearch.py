@@ -159,6 +159,72 @@ def ivf_query_topk(
     )
 
 
+def ann_recall_at_k(
+    emb: DataFrame, n_cells: int = 16, k: int = 10, n_queries: int = 20
+) -> DataFrame:
+    """Recall@k of the IVF path against brute-force ground truth, per
+    query — THE metric an ANN index is tuned by. Query panel = the
+    ``n_queries`` vectors after the centroid seed set (deterministic, no
+    RNG). Ground truth is exact top-k by quantized dot (brute side costs
+    |panel| x corpus — the documented eval-on-a-panel shape: recall is
+    always measured on a bounded sample, never the full query log);
+    approximate side re-ranks only the query's IVF cell.
+
+    Scale shape: the panel is a broadcast relation on both sides; the
+    brute pass is one scan of the corpus x |panel| in-row dots with a
+    per-qid top-k window (|panel| partitions, each corpus-sized — bounded
+    by the panel you chose to pay for). Returns
+    (qid, n_overlap, recall_milli = floor(1000 * overlap / k)) — exact
+    integers, cross-engine stable."""
+    from pyspark.sql import Window
+
+    qs = emb.where(
+        (F.col("vec_id") >= n_cells) & (F.col("vec_id") < n_cells + n_queries)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+
+    w = Window.partitionBy("qid").orderBy(F.desc("dq"), "vec_id")
+    truth = (
+        emb.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "qid", dot_q("embedding", "qe").alias("dq"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+
+    assign = ivf_assign(emb, n_cells)
+    qcell = assign.join(
+        F.broadcast(qs.select(F.col("qid").alias("vec_id"))), "vec_id", "left_semi"
+    ).select(F.col("vec_id").alias("qid"), "cell")
+    members = assign.join(F.broadcast(qcell), "cell").where(
+        F.col("vec_id") != F.col("qid")
+    )
+    approx = (
+        members.select("qid", "vec_id")
+        .join(emb, "vec_id")
+        .join(F.broadcast(qs), "qid")
+        .select("qid", "vec_id", dot_q("embedding", "qe").alias("dq"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+
+    ov = truth.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        qs.select("qid")
+        .join(ov, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.floor(F.lit(1000) * F.coalesce(F.col("n"), F.lit(0)) / F.lit(k))
+            .cast("long")
+            .alias("recall_milli"),
+        )
+    )
+
+
 # quantized integer squared-euclidean distance of two array<long> columns
 _DIST_SQ = (
     "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "

@@ -641,6 +641,83 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]] | None = None) -> 
     )
 
 
+def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """The BPE vocabulary-induction LOOP (Sennrich et al. 2016) — the
+    training half whose single statistics round is ``bpe_pair_topk`` and
+    whose frozen artifact ``bpe_encode`` applies: ``n_merges`` rounds of
+    count-adjacent-symbol-pairs (weighted by word frequency) -> merge the
+    argmax (ties pair-lexicographic ascending) -> re-segment -> repeat.
+
+    Scale shape (the property that makes BPE trainable on a 100 TB
+    corpus): the corpus collapses ONCE into the word-frequency relation —
+    the only corpus-sized exchange — which is persisted and never
+    recomputed; every round then runs over the Heaps'-law-bounded DISTINCT
+    vocabulary only. Re-segmentation is the marker-string replace chain
+    (``bpe_encode``'s representation: "_j_o_i_n", merge (a,b) rewrites
+    "_a_b" -> "_ab" left-to-right non-overlapping), applied LAZILY — round
+    r's plan is r chained Catalyst ``replace`` expressions over the cached
+    vocab, so no round re-reads the corpus. The per-round argmax is a
+    1-row bounded collect (the merge table IS the driver-side output,
+    like salt.py's top-k handoff).
+
+    Returns the learned merge table: (rank, a, b, cnt) — rank-ordered,
+    directly freezable as a ``bpe_encode`` merges list."""
+    wf = (
+        docs.select(F.explode(tokens_expr()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wf"))
+        .select(F.regexp_replace(F.col("w"), "(.)", "_$1").alias("r"), "wf")
+        .persist()
+    )
+    empty_s = F.array().cast("array<string>")
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        rep = F.col("r")
+        for rank in range(1, n_merges + 1):
+            # stage the symbol array through a projection boundary BEFORE
+            # the pair lambda references it (HOF-CSE house rule, SURVEY §4
+            # invariant 4) — and guard size==1: sequence(1, 0) DESCENDS
+            syms = wf.select(
+                "wf",
+                F.filter(F.split(rep, "_"), lambda x: x != F.lit("")).alias("s"),
+            )
+            pairs = syms.select(
+                "wf",
+                F.explode(
+                    F.when(
+                        F.size("s") > 1,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("s") - 1),
+                            lambda i: F.concat(
+                                F.element_at(F.col("s"), i),
+                                F.lit("_"),
+                                F.element_at(F.col("s"), i + 1),
+                            ),
+                        ),
+                    ).otherwise(empty_s)
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy("p")
+                .agg(F.sum("wf").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("p").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # vocabulary fully merged — nothing left to count
+            # symbols never contain '_' (tokens are [a-z0-9]+), so the
+            # pair key splits back unambiguously
+            a, b = best[0]["p"].split("_")
+            merges.append((rank, a, b, int(best[0]["n"])))
+            rep = F.replace(rep, F.lit(f"_{a}_{b}"), F.lit(f"_{a}{b}"))
+        return docs.sparkSession.createDataFrame(
+            merges, "rank int, a string, b string, cnt long"
+        )
+    finally:
+        wf.unpersist()
+
+
 def unigram_logprob(docs: DataFrame) -> DataFrame:
     """Corpus-unigram LM score per document — the relational, deterministic
     stand-in for the CCNet/KenLM perplexity quality filter [Wenzek et al.

@@ -65,3 +65,84 @@ def test_bpe_encode_left_to_right_overlap(spark):
     docs = spark.createDataFrame([(1, "ererer rere")], "doc_id int, text string")
     row = bpe_encode(docs, merges=[("e", "r")]).collect()[0]
     assert row["n_subtokens"] == 3 + 3
+
+
+def _train_py(word_freqs: dict[str, int], n_merges: int):
+    """Independent pure-python Sennrich TRAIN loop: count adjacent symbol
+    pairs weighted by word freq, merge the argmax (ties pair-ascending),
+    re-segment, repeat."""
+    reps = {("".join("_" + c for c in w)): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[str, int] = {}
+        for rep, f in reps.items():
+            syms = [s for s in rep.split("_") if s]
+            for i in range(len(syms) - 1):
+                p = syms[i] + "_" + syms[i + 1]
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        a, b = best.split("_")
+        merges.append((rank, a, b, counts[best]))
+        reps = {
+            rep.replace(f"_{a}_{b}", f"_{a}{b}"): f for rep, f in reps.items()
+        }
+    return merges
+
+
+def test_bpe_train_matches_independent_loop(spark):
+    from cdc_engine.textops import bpe_train
+
+    corpus = [
+        (1, "lower lower lowest low"),
+        (2, "newer newest new new"),
+        (3, "wider wide widest lower"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id int, text string")
+    import re
+    from collections import Counter
+
+    wf = Counter(
+        w
+        for _, text in corpus
+        for w in re.split(r"[^a-z0-9]+", text.lower())
+        if w
+    )
+    want = _train_py(dict(wf), 6)
+    got = [
+        (r["rank"], r["a"], r["b"], r["cnt"])
+        for r in bpe_train(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    assert got == want and len(got) == 6
+
+
+def test_bpe_train_exhausts_gracefully(spark):
+    """A single 2-char word: merge 1 consumes the only pair, the loop then
+    finds nothing to count and stops early."""
+    from cdc_engine.textops import bpe_train
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id int, text string")
+    got = [
+        (r["rank"], r["a"], r["b"], r["cnt"])
+        for r in bpe_train(docs, n_merges=5).collect()
+    ]
+    assert got == [(1, "a", "b", 2)]
+
+
+def test_bpe_train_output_freezes_into_encode(spark):
+    """The learned table plugs straight into bpe_encode as merges list."""
+    from cdc_engine.textops import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "lower lower low"), (2, "slower lowest")], "doc_id int, text string"
+    )
+    table = [
+        (r["a"], r["b"]) for r in bpe_train(docs, n_merges=4).orderBy("rank").collect()
+    ]
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges=table).collect()}
+    for doc_id, text in [(1, "lower lower low"), (2, "slower lowest")]:
+        import re
+
+        words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        assert out[doc_id]["n_subtokens"] == sum(_encode_py(w, table) for w in words)
