@@ -152,16 +152,18 @@ class PreparedEpoch:
 
     __slots__ = (
         "epoch_id", "df", "persisted", "input_stats", "touched",
-        "mor_lineage_stats",
+        "mor_lineage_stats", "cow_broadcast",
     )
 
-    def __init__(self, epoch_id, df, persisted, input_stats, touched, mor_lineage_stats):
+    def __init__(self, epoch_id, df, persisted, input_stats, touched,
+                 mor_lineage_stats, cow_broadcast=False):
         self.epoch_id = epoch_id
         self.df = df
         self.persisted = persisted
         self.input_stats = input_stats
         self.touched = touched
         self.mor_lineage_stats = mor_lineage_stats
+        self.cow_broadcast = cow_broadcast
 
 
 def prepare_epoch(
@@ -203,7 +205,9 @@ def prepare_epoch(
     # FIRST so this aggregate doubles as the cache materialization the
     # write job then reads.
     n_buckets = man["n_buckets"]
-    mor_deferred = man.get("mode", "cow") == "mor" and not cfg.mor_write_dedup
+    mode = man.get("mode", "cow")
+    mor_deferred = mode == "mor" and not cfg.mor_write_dedup
+    is_cow = mode == "cow"
     persisted = None
     if mor_deferred:
         df = df.persist()
@@ -309,15 +313,50 @@ def prepare_epoch(
     if persisted is None:
         df = df.persist()
         persisted = df
+    cow_broadcast = False
     if materialize:
         # prefetch mode: pull the dedup shuffle (WAL read + LWW window +
-        # cache write) into the caller's overlap window with one count
-        # action; the later merge's write job then reads straight from
-        # the cache
+        # cache write) into the caller's overlap window with one
+        # aggregate action; the later merge's write job then reads
+        # straight from the cache. The aggregate (same single job a bare
+        # count() would be — a cache scan materializes whole partitions
+        # regardless of column pruning) doubles as the EXACT broadcast
+        # gate for COW: winner rows + winner payload bytes, measured, not
+        # estimated. Non-materializing callers (streaming apply_epoch,
+        # cow_prefetch=0) keep the join path — gating there would cost
+        # the extra job barrier this path gets for free.
+        blen = (
+            F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).cast("long")
+            if "html" in df.columns
+            else F.lit(0).cast("long")
+        )
         with phase("prefetch_materialize"):
-            df.count()
+            mrow = df.agg(
+                F.count("*").alias("n"), blen.alias("b")
+            ).collect()[0]
+        if is_cow and cfg.cow_broadcast_rows > 0 and cfg.cow_broadcast_bytes > 0:
+            cow_broadcast = (
+                0 < int(mrow["n"]) <= cfg.cow_broadcast_rows
+                and int(mrow["b"]) <= cfg.cow_broadcast_bytes
+            )
+            if cow_broadcast and cfg.cow_broadcast_min_ratio > 0:
+                # broadcast only pays when the CARRIED target volume
+                # dwarfs the batch (measured: at target ~ batch the
+                # broadcast build is pure overhead — config.py note).
+                # Target bytes for the touched buckets come from manifest
+                # file stats — pure metadata, no job. Parquet bytes are
+                # zstd-compressed vs the batch's in-memory octet_length,
+                # so the ratio default is conservative.
+                carried_bytes = sum(
+                    int(f.get("bytes") or 0)
+                    for f in lake._files(man, set(touched))
+                )
+                cow_broadcast = (
+                    carried_bytes >= cfg.cow_broadcast_min_ratio * int(mrow["b"])
+                )
     return PreparedEpoch(
-        epoch_id, df, persisted, input_stats, touched, mor_lineage_stats
+        epoch_id, df, persisted, input_stats, touched, mor_lineage_stats,
+        cow_broadcast,
     )
 
 
@@ -333,6 +372,7 @@ def commit_prepared(
                 spark, prep.df, prep.epoch_id, input_stats=prep.input_stats,
                 touched_buckets=prep.touched,
                 mor_lineage_stats=prep.mor_lineage_stats,
+                cow_broadcast=prep.cow_broadcast,
             )
     finally:
         if prep.persisted is not None:

@@ -77,3 +77,28 @@ class CdcConfig:
 
     # rewrite a bucket when it accumulates more than this many data files
     compact_after_files: int = 8
+
+    # COW broadcast apply: when the epoch's estimated LWW winners fit a
+    # broadcast (BOTH bounds below, estimated map-side in the combined
+    # stats job: approx distinct urls x mean row bytes), merge swaps the
+    # full-outer shuffle join for target LEFT JOIN broadcast(batch) +
+    # batch ANTI JOIN target(url-only). The wide target then never enters
+    # a join exchange — the only full-width shuffle left is the bucket
+    # repartition before the write — which is the common CDC shape at any
+    # scale (epoch << table: a 100 TB table absorbs a few-GB epoch with
+    # bucket-pruned map-side work instead of shuffling carried terabytes).
+    # Result rows are byte-identical to the join path
+    # (tests/test_cow_broadcast.py). 0 on either knob disables.
+    #
+    # MEASURED (12M events / 6M epochs / pinned 2 vs 8 cores, interleaved
+    # A/B): when target ~ batch (this bench: ~same distinct urls on both
+    # sides) broadcast LOSES — min-wall join 40.5/11.9 s vs broadcast
+    # 41.3/13.1 s — because there is no carried volume to keep out of the
+    # shuffle and the driver-side broadcast build is pure overhead. Hence
+    # the ratio gate below: broadcast only when the carried target bytes
+    # (manifest file stats, free) dwarf the measured batch bytes — the
+    # epoch << table regime the plan exists for. 0 disables the ratio
+    # condition (always broadcast when the size bounds pass).
+    cow_broadcast_rows: int = 4_000_000
+    cow_broadcast_bytes: int = 128 * 1024 * 1024
+    cow_broadcast_min_ratio: float = 4.0

@@ -176,6 +176,44 @@ _LINEAGE_SCHEMA = T.StructType(
 )
 
 
+def _cow_broadcast_plan(tgt, src):
+    """Broadcast CDC-apply join shape (COW merge, small-epoch common case):
+    one (t, s) struct-columned relation row-equivalent to
+    ``tgt FULL OUTER JOIN src ON url`` — but the wide target never enters
+    a join exchange. Updates/carries: target LEFT JOIN broadcast(batch),
+    map-side. Inserts: batch ANTI JOIN a column-pruned url-only target
+    scan (narrow). A NULL t struct stands in for the outer join's
+    null-extended target side, so every downstream expression (winner
+    predicate, per-column pick, lineage Observation) runs verbatim on
+    either shape via t.col / s.col struct-field access. Requires both
+    sides unique per url (target invariant + LWW dedup), which also holds
+    for the full-outer path."""
+    t_struct = F.struct(*[F.col(f"t.`{c}`") for c in tgt.columns]).alias("t")
+    s_struct = F.struct(*[F.col(f"s.`{c}`") for c in src.columns]).alias("s")
+    upd = (
+        tgt.alias("t")
+        .join(
+            F.broadcast(src).alias("s"),
+            F.col("t.url") == F.col("s.url"),
+            "left_outer",
+        )
+        .select(t_struct, s_struct)
+    )
+    ins = (
+        src.alias("s")
+        .join(
+            tgt.select(F.col("url").alias("__t_url")),
+            F.col("s.url") == F.col("__t_url"),
+            "left_anti",
+        )
+        .select(
+            F.lit(None).cast(upd.schema["t"].dataType).alias("t"),
+            s_struct,
+        )
+    )
+    return upd.unionByName(ins)
+
+
 def _internal_schema(user: T.StructType) -> T.StructType:
     return T.StructType(
         list(user.fields)
@@ -1102,6 +1140,7 @@ class SnapLake:
         fast_pids: list | None = None,
         est_rows: int | None = None,
         quarantine_writer=None,
+        cow_broadcast: bool = False,
     ) -> dict[str, Any] | None:
         """CDC-apply one deduped micro-batch (S4/J1). Returns commit stats,
         or None when ``epoch_id`` is already in the ledger (idempotence, J4).
@@ -1231,7 +1270,25 @@ class SnapLake:
             # target conformed to the evolved schema (old snapshot may be narrower)
             tgt = conform(tgt, _internal_schema(new_schema))
 
-            j = tgt.alias("t").join(src.alias("s"), F.col("t.url") == F.col("s.url"), "full_outer")
+            if cow_broadcast:
+                # broadcast CDC-apply (round 6): the epoch's winners fit a
+                # broadcast (prepare_epoch's map-side estimate), so the
+                # WIDE TARGET NEVER ENTERS A JOIN EXCHANGE — updates are a
+                # map-side target LEFT JOIN broadcast(batch), inserts a
+                # batch ANTI JOIN over a column-pruned url-only target
+                # scan. The only remaining full-width shuffle is the
+                # bucket repartition before the write (the join path pays
+                # that PLUS a both-sides url shuffle). Both branches are
+                # packed into (t, s) STRUCT columns so every downstream
+                # expression (winner predicate, per-column pick, lineage
+                # Observation) is shared verbatim with the full-outer
+                # path: t.url / s.`col` resolve as struct fields, a NULL
+                # t struct behaves exactly like the outer join's
+                # null-extended t side. Result rows are byte-identical
+                # (tests/test_cow_broadcast.py).
+                j = _cow_broadcast_plan(tgt, src)
+            else:
+                j = tgt.alias("t").join(src.alias("s"), F.col("t.url") == F.col("s.url"), "full_outer")
             # winner predicate + per-column pick, as SQL strings: one py4j
             # round trip per column instead of the ~6 a when/otherwise
             # column tree costs — this is per-epoch DRIVER time (serial at
@@ -1382,6 +1439,10 @@ class SnapLake:
             # the write action — per-epoch DRIVER time (serial at any
             # cluster size), the term the F.expr conversions above shrink
             _timing.records.append(("merge_plan", time.monotonic() - _plan_t0))
+            if mode != "mor":
+                _timing.records.append(
+                    ("cow_apply_broadcast" if cow_broadcast else "cow_apply_join", 0.0)
+                )
         with phase("data_write"):
             (
                 result.repartition(nparts, F.col("_bucket"))
