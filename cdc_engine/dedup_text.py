@@ -301,6 +301,24 @@ def jaccard_on_lsh(
     assert threshold_milli >= 1
     tok = doc_tokens(docs).select("doc_id", "w")
     cand = lsh_candidate_pairs(docs, k, band_rows, tok=tok)
+    return jaccard_rescore(cand, docs, threshold_milli, tok=tok)
+
+
+def jaccard_rescore(
+    cand: DataFrame,
+    docs: DataFrame,
+    threshold_milli: int,
+    tok: DataFrame | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard over GIVEN candidate pairs (da, db) — the
+    rescore half of jaccard_on_lsh, split out so incremental callers
+    (delta_lsh_candidates -> this, over corpus ∪ epoch) share the exact
+    scoring code path with the full-corpus chain. Same in-row
+    size(array_intersect) form and the same threshold_milli >= 1 contract
+    (zero-intersection candidates reach the filter as jacc_milli=0)."""
+    assert threshold_milli >= 1
+    if tok is None:
+        tok = doc_tokens(docs).select("doc_id", "w")
     arrs = tok.groupBy("doc_id").agg(
         F.collect_list("w").alias("ws"), F.count("*").alias("n")
     )

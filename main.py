@@ -222,6 +222,13 @@ def main(argv: list[str] | None = None) -> None:
                    help="output dir: curated parquet partitioned by split")
     p.add_argument("--no-neardup", action="store_true",
                    help="skip the minhash-LSH near-dup stage")
+    p.add_argument("--state", default=None,
+                   help="INCREMENTAL mode: curate --docs as ONE CDC epoch "
+                        "against this standing state dir (hash table, LSH "
+                        "index, component labels), appending it; first call "
+                        "on an empty dir bootstraps. Writes the epoch's "
+                        "survivors to --out and bridged-component "
+                        "retractions to <out>_retractions")
     p.add_argument("--k", type=int, default=8, help="minhash signature length")
     p.add_argument("--band-rows", type=int, default=2, help="rows per LSH band")
     p.add_argument("--threshold-milli", type=int, default=600,
@@ -380,11 +387,10 @@ def main(argv: list[str] | None = None) -> None:
             "clusters": comps.select("component").distinct().count(),
         }))
     elif args.cmd == "curate":
-        from cdc_engine.curate import curate
+        from cdc_engine.curate import curate, curate_incremental
 
         docs = spark.read.parquet(args.docs)
-        curated, report = curate(
-            docs,
+        kw = dict(
             neardup=not args.no_neardup,
             k=args.k,
             band_rows=args.band_rows,
@@ -394,6 +400,16 @@ def main(argv: list[str] | None = None) -> None:
             val_permille=args.val_permille,
             test_permille=args.test_permille,
         )
+        if args.state:
+            curated, retractions, report = curate_incremental(
+                spark, docs, args.state, **kw
+            )
+            retractions.write.mode("errorifexists").parquet(
+                args.out.rstrip("/") + "_retractions"
+            )
+            retractions.unpersist()
+        else:
+            curated, report = curate(docs, **kw)
         curated.write.mode("errorifexists").partitionBy("split").parquet(args.out)
         curated.unpersist()
         print(json.dumps(report))
