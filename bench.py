@@ -131,6 +131,12 @@ def _run_trial(spark, tmp: str, wal: str, trial: int) -> dict[str, float]:
         "classifier_scores",
         "bigram_lm_stats",
         "neardup_survivors",
+        # round-6 additions: signature-agreement rescore, ANN eval, real
+        # AVI demux round-trip (bpe_train stays out — the 8-round loop is
+        # an offline tokenizer-training job, not a per-corpus query)
+        "minhash_jaccard_est",
+        "ann_recall_at_k",
+        "video_frame_features",
     ]
     for name in headline:
         t0 = time.monotonic()
