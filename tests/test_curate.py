@@ -100,6 +100,11 @@ def test_curate_no_neardup_keeps_near_duplicates(spark, monkeypatch):
 
 
 def test_curate_output_unique_and_no_cache_leak(spark):
+    # delta, not absolute zero: other session-lifetime caches may exist
+    # (e.g. contract._scored_pairs' intentional memo when the contract
+    # suite ran first in this session) — the invariant is that curate()
+    # itself leaks NOTHING
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     curated, report = curate(_docs(spark))
     try:
         # exact dedup guarantee: output texts are unique
@@ -108,5 +113,5 @@ def test_curate_output_unique_and_no_cache_leak(spark):
         assert report["n_words_curated"] > 0
     finally:
         curated.unpersist()
-    # only the returned frame was still cached; after unpersist nothing is
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    # only the returned frame was still cached; after unpersist no NET leak
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == before
