@@ -219,3 +219,23 @@ def test_seq_packing_global_window_only_on_tiny_relation(spark):
     # the big-side cumsum stays partitioned by the range bucket
     assert "hashpartitioning(rb" in p, p
     assert "PythonUDF" not in p, p
+
+
+def test_round6_queries_plan_shapes(spark):
+    """Round-6 additions: minhash_jaccard_est is pure Catalyst (the O(k)
+    signature-agreement rescore must not leave the JVM) with equi-join
+    candidate generation; ann_recall_at_k's only non-equi node is the
+    broadcast of the 20-query panel (never a CartesianProduct);
+    video_frame_features' demux is Arrow-batched MapInPandas, never
+    row-at-a-time Python."""
+    p = _plan(QUERIES["minhash_jaccard_est"](spark, SF), mode="simple")
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+    p = _plan(QUERIES["ann_recall_at_k"](spark, SF), mode="simple")
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p  # panel rides a broadcast NLJ
+
+    p = _plan(QUERIES["video_frame_features"](spark, SF), mode="simple")
+    assert "MapInPandas" in p, p  # Arrow-batched demux
+    assert "BatchEvalPython" not in p, p  # never per-row Python
