@@ -191,11 +191,16 @@ def test_no_presentation_sort_in_hot_queries(spark):
 
 def test_minhash_single_shuffle_before_order(spark):
     """The signature aggregation must shuffle the token relation exactly
-    once (one hashpartitioning exchange); the 8x crossJoin form shuffled
-    k copies."""
+    once (one hashpartitioning exchange on doc_id); the 8x crossJoin form
+    shuffled k copies. The only other exchange allowed is the VOCAB
+    distinct feeding the broadcast hash-precompute (round 7): it carries
+    one row per distinct token after map-side partial aggregation — never
+    the instance-sized token relation — and the per-token md5s must ride
+    a BroadcastHashJoin back onto the instances, not a shuffled join."""
     p = _plan(QUERIES["minhash_signatures"](spark, SF), mode="simple")
-    n_hash_exchanges = p.count("Exchange hashpartitioning")
-    assert n_hash_exchanges == 1, p
+    assert p.count("Exchange hashpartitioning(doc_id") == 1, p
+    assert p.count("Exchange hashpartitioning") == 2, p  # + the vocab distinct
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
 
 
 def test_contamination_bench_side_broadcasts(spark):
