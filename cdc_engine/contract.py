@@ -1261,28 +1261,36 @@ def ensure_replay_oracle_bootstrap() -> None:
     """Guarantee the oracle glob matches >=1 file so read_parquet never
     errors if the harness evaluates the SQL before the flagship query has
     run (the bootstrap file is empty and tagged unmatched, so it only ever
-    contributes zero rows)."""
-    import glob
+    contributes zero rows).
+
+    The empty file is written with an EXPLICIT arrow schema (round-7 fix):
+    an empty pandas object Series lands in parquet as the `null` logical
+    type, which DuckDB's multi-file reader unifies as INTEGER when the
+    bootstrap happens to be the glob's first file — making the oracle SQL
+    die on a VARCHAR->INTEGER cast the moment a real state file sits next
+    to it. Typed-string columns make the multi-file schema union exact
+    regardless of file order. The write is unconditional (atomic replace)
+    so a stale null-typed bootstrap from an older build self-heals."""
     import os
 
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     os.makedirs(REPLAY_ORACLE_DIR, exist_ok=True)
-    if glob.glob(_REPLAY_GLOB):
-        return
-    empty = pd.DataFrame(
-        {
-            "url": pd.Series(dtype="object"),
-            "warc_ts_us": pd.Series(dtype="int64"),
-            "html_fp": pd.Series(dtype="object"),
-            "text": pd.Series(dtype="object"),
-            "lang": pd.Series(dtype="object"),
-            "fetch_status": pd.Series(dtype="int64"),
-            "sf_tag": pd.Series(dtype="object"),
-        }
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts_us", pa.int64()),
+            ("html_fp", pa.string()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("fetch_status", pa.int64()),
+            ("sf_tag", pa.string()),
+        ]
     )
+    empty = pa.table({f.name: pa.array([], type=f.type) for f in schema}, schema=schema)
     tmp = f"{REPLAY_ORACLE_DIR}/.bootstrap.tmp.{os.getpid()}"
-    empty.to_parquet(tmp, index=False)
+    pq.write_table(empty, tmp)
     os.replace(tmp, f"{REPLAY_ORACLE_DIR}/state_v2_bootstrap.parquet")
 
 
