@@ -45,6 +45,7 @@ from cdc_engine.multimodal import (
     synth_media_blobs,
 )
 from cdc_engine.retrieval import rrf_fuse
+from cdc_engine.salt import spread
 from cdc_engine.sketch import cms_heavy_hitters
 from cdc_engine.sampling import (
     corpus_shuffle,
@@ -80,7 +81,42 @@ from cdc_engine.textops import (
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table loader. Small fact tables (documents/events/lineitem/... are
+    single-row-group parquet here, i.e. ONE scan partition) are spread to
+    core-count partitions so in-row map work parallelizes (guide §2.5);
+    tiny dims (region/nation/...) stay as-is — they ride broadcasts and a
+    32-way exchange under a 5-row table is pure scheduling overhead. The
+    size gate makes this scale-adaptive: a production-size table scans as
+    many partitions already and is left alone. The gate is pure file-stat
+    arithmetic — no .rdd partition probe (that forces physical planning,
+    ~0.2-0.4 s of driver time per call; measured as a uniform tax on every
+    sub-second bench entry) — and the result is marked so downstream
+    operators' spread() is a free no-op."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    # Attach the spread decision WITHOUT a partition probe (that forces
+    # physical planning — ~0.2-0.4 s driver time per call) and WITHOUT
+    # force-spreading: only operators whose per-row map work is heavy
+    # (regex scrub, in-row n-grams, vector math) opt in via salt.spread();
+    # everything else keeps the bare scan — its first shuffle
+    # parallelizes anyway, and an unconditional exchange measurably taxed
+    # every sub-second query. Interleaved A/B showed the minhash chain is
+    # ~0.3-0.5 s FASTER unspread (its md5 work rides the post-exchange
+    # vocab side), while pii/ngram/ANN operators are 0.5-1.6 s faster
+    # spread — so the choice must be per-operator, not per-table.
+    try:
+        size = os.path.getsize(path)
+        if name in ("documents", "embeddings") and 200_000 <= size < (32 << 20):
+            # provably narrower than core count (single file below
+            # maxPartitionBytes): pre-build the lazy spread variant
+            spread_df = df.repartition(spark.sparkContext.defaultParallelism)
+            spread_df._cdc_spread = True
+            df._cdc_spread = spread_df
+        else:
+            df._cdc_spread = True  # real scale or tiny dim: never spread
+    except OSError:
+        df._cdc_spread = True
+    return df
 
 
 # Vectorized grouped-aggregate UDAF (Arrow series -> scalar; SURVEY.md §2.10

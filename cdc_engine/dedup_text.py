@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from cdc_engine.salt import spread
 from cdc_engine.textops import tokens_expr
 
 # 48-bit hash from the first 12 hex chars of md5 — cross-engine reproducible
@@ -54,7 +55,12 @@ def exact_dedup_canonical(docs: DataFrame) -> DataFrame:
 
 
 def doc_tokens(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, lang, token) — the shared shingle relation."""
+    """Distinct (doc_id, lang, token) — the shared shingle relation.
+    Deliberately NOT spread (guide §2.5 applied with measurement, not
+    reflex): since the per-token md5 work moved to the post-exchange
+    vocab side, the residual pre-exchange work (split/explode) is too
+    cheap to pay an extra exchange+stage for — interleaved A/B at sf0.1
+    showed the chain 0.3-0.5 s faster without it."""
     return (
         docs.select("doc_id", "lang", F.explode(tokens_expr()).alias("w"))
         .distinct()
@@ -736,6 +742,7 @@ def dup_passage_stats(docs: DataFrame, col: str = "text", k: int = 8) -> DataFra
     surviving tokens, space-joined — '' hashes when everything was
     duplicated)."""
     empty_i = F.array().cast("array<int>")
+    docs = spread(docs)
     toks = docs.select(
         "doc_id",
         F.coalesce(

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from cdc_engine.salt import spread
+
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -42,7 +44,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram/stopword heuristic language ID: argmax of per-language
     stopword hit counts, first-wins tie-break in LANG_ORDER, 'und' when no
     stopword hits at all."""
-    scored = docs.select(
+    scored = spread(docs).select(
         "doc_id", "lang", *[_stop_count(l).alias(f"s_{l}") for l in LANG_ORDER]
     )
     pred = F.lit("und")
@@ -60,6 +62,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """Length/punctuation/stopword quality heuristics, milli-unit ints."""
     n_tokens = F.size(tokens_expr())
     n_chars = F.length("text")
+    docs = spread(docs)  # several regexes per row: parallelize the map
     punct = F.regexp_count(F.col("text"), F.lit(r"[.,!?;:]"))
     stop = _stop_count("en")
     punct_milli = F.round(F.lit(1000.0) * punct / F.greatest(n_chars, F.lit(1))).cast("long")
@@ -84,7 +87,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def token_count(docs: DataFrame) -> DataFrame:
     """Whitespace token count + a BPE-ish regex token count (letters runs,
     digit runs, single punctuation — a crude subword proxy)."""
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))).alias("n_ws_tokens"),
         F.regexp_count(F.lower(F.col("text")), F.lit(BPE_ISH_RE)).alias("n_bpe_tokens"),
@@ -94,7 +97,7 @@ def token_count(docs: DataFrame) -> DataFrame:
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Whitespace-normalized md5 content fingerprint."""
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    return docs.select("doc_id", F.md5(norm).alias("fp"))
+    return spread(docs).select("doc_id", F.md5(norm).alias("fp"))
 
 
 def winnow_fingerprint(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
@@ -115,7 +118,8 @@ def winnow_fingerprint(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     form re-tokenized per gram AND re-hashed every gram per window
     position — O(n²) md5 calls for an O(n·w) algorithm."""
     empty_i = F.expr("cast(array() as array<int>)")
-    staged = docs.select("doc_id", tokens_expr().alias("_toks"))
+    # spread: per-gram md5 is a heavy in-row map (guide §2.5)
+    staged = spread(docs).select("doc_id", tokens_expr().alias("_toks"))
     toks = F.col("_toks")
     n = F.size(toks)
     # guard: Spark's sequence(1, 0) DESCENDS instead of being empty
@@ -466,6 +470,7 @@ def pii_scrub(df: DataFrame, col: str = "text") -> DataFrame:
     classes could overlap. Pure Catalyst (regexp_count/regexp_replace,
     JVM codegen) — the canonical pre-training privacy pass, applied before
     any dedup so markers don't perturb near-dup signatures."""
+    df = spread(df)  # 6 regex passes per row (guide §2.5): parallelize
     c = F.col(col)
     scrubbed = F.regexp_replace(
         F.regexp_replace(
@@ -788,6 +793,7 @@ def quality_funnel(
     All five are integer/milli comparisons on one narrow projection — a
     single stage, no shuffle at all until a consumer aggregates. Returns
     (doc_id, n_words, r1_len..r5_ttr as 0/1 ints, first_fail, passed)."""
+    docs = spread(docs)  # tokenize + regex + distinct per row: heavy map
     toks = tokens_expr()
     n_words = F.size(toks)
     n_chars = F.length("text")
@@ -857,7 +863,7 @@ def dup_ngram_share(docs: DataFrame, n: int = 3) -> DataFrame:
     split/filter per gram position — O(len²) tokenization. Staging it as
     a column makes the lambda capture an attribute instead (measured
     9.7 s → 0.9 s on the sf0.1 corpus, identical results)."""
-    staged = docs.select("doc_id", tokens_expr().alias("_toks"))
+    staged = spread(docs).select("doc_id", tokens_expr().alias("_toks"))
     toks = F.col("_toks")
     n_tok = F.size(toks)
     grams = F.when(
@@ -915,7 +921,9 @@ def classifier_scores(docs: DataFrame, d_buckets: int = 256) -> DataFrame:
             - 1000
         ).cast("long").alias("wt"),
     )
-    feat = docs.select(
+    # spread: one md5 per token INSTANCE before the first exchange —
+    # heavy in-row map (guide §2.5), parallelize it
+    feat = spread(docs).select(
         "doc_id",
         F.explode(tokens_expr()).alias("w"),
     ).select(
