@@ -152,11 +152,11 @@ class PreparedEpoch:
 
     __slots__ = (
         "epoch_id", "df", "persisted", "input_stats", "touched",
-        "mor_lineage_stats", "cow_broadcast",
+        "mor_lineage_stats", "cow_broadcast", "cow_merge",
     )
 
     def __init__(self, epoch_id, df, persisted, input_stats, touched,
-                 mor_lineage_stats, cow_broadcast=False):
+                 mor_lineage_stats, cow_broadcast=False, cow_merge="window"):
         self.epoch_id = epoch_id
         self.df = df
         self.persisted = persisted
@@ -164,6 +164,7 @@ class PreparedEpoch:
         self.touched = touched
         self.mor_lineage_stats = mor_lineage_stats
         self.cow_broadcast = cow_broadcast
+        self.cow_merge = cow_merge
 
 
 def prepare_epoch(
@@ -334,7 +335,14 @@ def prepare_epoch(
             mrow = df.agg(
                 F.count("*").alias("n"), blen.alias("b")
             ).collect()[0]
-        if is_cow and cfg.cow_broadcast_rows > 0 and cfg.cow_broadcast_bytes > 0:
+        if (
+            is_cow
+            and cfg.cow_merge == "join"  # broadcast is a join-path variant;
+            # the default window strategy already has its one-target-
+            # exchange property without the broadcast build
+            and cfg.cow_broadcast_rows > 0
+            and cfg.cow_broadcast_bytes > 0
+        ):
             cow_broadcast = (
                 0 < int(mrow["n"]) <= cfg.cow_broadcast_rows
                 and int(mrow["b"]) <= cfg.cow_broadcast_bytes
@@ -356,7 +364,7 @@ def prepare_epoch(
                 )
     return PreparedEpoch(
         epoch_id, df, persisted, input_stats, touched, mor_lineage_stats,
-        cow_broadcast,
+        cow_broadcast, cfg.cow_merge,
     )
 
 
@@ -373,6 +381,7 @@ def commit_prepared(
                 touched_buckets=prep.touched,
                 mor_lineage_stats=prep.mor_lineage_stats,
                 cow_broadcast=prep.cow_broadcast,
+                cow_merge=prep.cow_merge,
             )
     finally:
         if prep.persisted is not None:

@@ -62,6 +62,19 @@ class CdcConfig:
     # overlap, gated on that state-read barrier. 0 disables.
     cow_prefetch: int = 1
 
+    # COW apply strategy (round 7): "window" (default) = ONE-EXCHANGE
+    # union+window merge — target+batch rows shuffle exactly once, on the
+    # output bucket, and the LWW winner is picked by a row_number window
+    # whose clustering the bucket partitioning already satisfies. "join" =
+    # the round-6 full-outer sort-merge (the wide target crossed TWO
+    # exchanges per epoch: url-hash into the join, bucket-hash before the
+    # write), kept for A/B; the broadcast variant below applies only under
+    # "join" (union+window already has the broadcast plan's one-target-
+    # exchange property, without the broadcast build). State, ledger and
+    # lineage are byte-identical across all three
+    # (tests/test_cow_broadcast.py three-way identity).
+    cow_merge: str = "window"
+
     # explicit pre-merge repartition on pmod(xxhash64(url), P); 0 = let AQE decide
     repartition_urls: int = 0
 

@@ -1141,6 +1141,7 @@ class SnapLake:
         est_rows: int | None = None,
         quarantine_writer=None,
         cow_broadcast: bool = False,
+        cow_merge: str = "window",
     ) -> dict[str, Any] | None:
         """CDC-apply one deduped micro-batch (S4/J1). Returns commit stats,
         or None when ``epoch_id`` is already in the ledger (idempotence, J4).
@@ -1168,6 +1169,22 @@ class SnapLake:
         adaptive fanout (the expected seq-window width — exact for a
         dense WAL); ``quarantine_writer`` is invoked (still before the
         commit) only if the observation reports quarantined rows.
+
+        ``cow_merge``: COW apply strategy (round 7, guide §2.4 "remove
+        shuffles outright"). "window" (default) — the ONE-EXCHANGE form:
+        UNION the conformed target rows with the batch winners, hash-
+        repartition once on the output bucket, and pick the LWW winner
+        per url with a row_number window partitioned by (_bucket, url)
+        — hash partitioning on _bucket alone satisfies the window's
+        clustered distribution (url determines bucket), so no second
+        exchange is inserted, and the window's sort IS the write's
+        required (bucket, url) clustering. The join path shuffled the
+        full-width target TWICE per epoch (url-hash into the SMJ, then
+        bucket-hash before the write) plus the batch once; this shuffles
+        target+batch exactly once. "join" — the round-6 full-outer
+        sort-merge form (with the broadcast variant under its gate),
+        kept for A/B and regression tests; state/ledger/lineage are
+        byte-identical across all three (tests/test_cow_broadcast.py).
         """
         t0 = time.monotonic()
         _plan_t0 = time.monotonic()
@@ -1201,6 +1218,8 @@ class SnapLake:
 
         mode = man.get("mode", "cow")
         obs = obs_pids = None
+        prepart = False  # window strategy: result is already partitioned+sorted
+        u_win = None  # window strategy's pre-filter relation (lineage fallback)
         carried_rows = 0  # COW only: target rows rewritten alongside the batch
         if mode == "mor":
             # merge-on-read: the deduped batch IS the delta — no target read,
@@ -1270,111 +1289,224 @@ class SnapLake:
             # target conformed to the evolved schema (old snapshot may be narrower)
             tgt = conform(tgt, _internal_schema(new_schema))
 
-            if cow_broadcast:
-                # broadcast CDC-apply (round 6): the epoch's winners fit a
-                # broadcast (prepare_epoch's map-side estimate), so the
-                # WIDE TARGET NEVER ENTERS A JOIN EXCHANGE — updates are a
-                # map-side target LEFT JOIN broadcast(batch), inserts a
-                # batch ANTI JOIN over a column-pruned url-only target
-                # scan. The only remaining full-width shuffle is the
-                # bucket repartition before the write (the join path pays
-                # that PLUS a both-sides url shuffle). Both branches are
-                # packed into (t, s) STRUCT columns so every downstream
-                # expression (winner predicate, per-column pick, lineage
-                # Observation) is shared verbatim with the full-outer
-                # path: t.url / s.`col` resolve as struct fields, a NULL
-                # t struct behaves exactly like the outer join's
-                # null-extended t side. Result rows are byte-identical
-                # (tests/test_cow_broadcast.py).
-                j = _cow_broadcast_plan(tgt, src)
-            else:
-                j = tgt.alias("t").join(src.alias("s"), F.col("t.url") == F.col("s.url"), "full_outer")
-            # winner predicate + per-column pick, as SQL strings: one py4j
-            # round trip per column instead of the ~6 a when/otherwise
-            # column tree costs — this is per-epoch DRIVER time (serial at
-            # any cluster size; measured ~0.17s/epoch as column objects)
-            newer_sql = (
-                "(case when t.url is null then true "
-                "when s.url is null then false "
-                "else (s.warc_ts > t.warc_ts) or "
-                f"(s.warc_ts = t.warc_ts and s.seq > t.{INTERNAL_SEQ}) end)"
-            )
-            s_newer = F.expr(newer_sql)
-            # needed by the no-input_stats lineage fallback below (direct
-            # merge() callers; apply_epoch always passes input_stats and
-            # takes the Observation path instead)
-            s_here = F.col("s.url").isNotNull()
-            t_here = F.col("t.url").isNotNull()
-            pick = [
-                F.expr(f"case when {newer_sql} then s.`{c}` else t.`{c}` end as `{c}`")
-                for c in user_cols
-            ]
-            if collect_lineage and input_stats is not None:
-                # COW lineage rides INSIDE the write job via an Observation
-                # on the full-outer join (same lever the MoR path got one
-                # round earlier): the outcome split per source partition is
-                # collected map-side while the winners stream to parquet,
-                # removing the separate narrow re-join job — one Spark job
-                # barrier per epoch, pure serial time at any cluster size.
-                # One F.expr per pid (a named_struct of the 4 aggregates):
-                # column-object trees here cost ~30 py4j round trips per
-                # pid of driver time.
-                from pyspark.sql import Observation
+            if not cow_broadcast and cow_merge == "window":
+                # ---- ONE-EXCHANGE union+window CDC apply (round 7) ----
+                # See the ``cow_merge`` parameter notes. Fanout modulus and
+                # partition width are fixed BEFORE the plan (pure metadata:
+                # input_stats rows + manifest carried rows) so the single
+                # repartition IS the write layout; the window then needs no
+                # exchange of its own (hash on _bucket satisfies clustering
+                # on (_bucket, url)) and its sort doubles as the writer's
+                # required bucket clustering + the per-file url ordering.
+                from pyspark.sql import Observation, Window as _W
 
-                obs_pids = [s["partition_id"] for s in input_stats]
-                sh = "s.url is not null"
-                newer = (
+                est = est_rows
+                if est is None and input_stats is not None:
+                    est = sum(int(st["rows_in"]) for st in input_stats)
+                if est is not None:
+                    est += carried_rows
+                ft = self._write_modulus(n_buckets, est)
+                nparts = max(
+                    1,
+                    min(
+                        ft if ft < n_buckets else len(touched),
+                        spark.sparkContext.defaultParallelism,
+                    ),
+                )
+                sp_sql0 = (
+                    f"cast({source_partition_col} as int)"
+                    if source_partition_col in batch_df.columns
+                    else "cast(null as int)"
+                )
+                t_side = tgt.select(
+                    *[F.col(f"`{c}`") for c in user_cols],
+                    F.col(INTERNAL_SEQ).alias("_mseq"),
+                    F.col(INTERNAL_DELETED).alias("_mdel"),
+                    F.expr("cast(null as string)").alias("_mop"),
+                    F.expr("cast(null as int)").alias("_mpid"),
+                    F.lit(False).alias("_msrc"),
+                )
+                s_side = src.select(
+                    *[F.col(f"`{c}`") for c in user_cols],
+                    F.col("seq").alias("_mseq"),
+                    F.lit(False).alias("_mdel"),
+                    F.col("op").alias("_mop"),
+                    F.expr(sp_sql0).alias("_mpid"),
+                    F.lit(True).alias("_msrc"),
+                )
+                u = t_side.unionByName(s_side).withColumn(
+                    "_bucket", F.expr(f"pmod(xxhash64(url), {n_buckets})")
+                )
+                if ft < n_buckets:
+                    u = u.withColumn("_bucket", F.pmod(F.col("_bucket"), F.lit(ft)))
+                u = u.repartition(nparts, F.col("_bucket"))
+                # LWW winner per url: strictly-newer wins, so ties (which
+                # the ledger makes impossible) break to the TARGET row —
+                # exactly the join path's `s strictly newer than t`
+                w_lww = _W.partitionBy("_bucket", "url").orderBy(
+                    F.col("warc_ts").desc(),
+                    F.col("_mseq").desc(),
+                    F.col("_msrc").asc(),
+                )
+                u = u.withColumn("_rn", F.row_number().over(w_lww))
+                if collect_lineage and input_stats is None:
+                    # direct-merge lineage fallback needs the inserted-vs-
+                    # updated split: count target rows per url group (same
+                    # window partitioning -> no extra exchange)
+                    u = u.withColumn(
+                        "_thit",
+                        F.sum(F.when(~F.col("_msrc"), 1).otherwise(0)).over(
+                            _W.partitionBy("_bucket", "url")
+                        ),
+                    )
+                u_win = u
+                if collect_lineage and input_stats is not None:
+                    # lineage rides the SAME write job (observe sits below
+                    # the rn filter so loser source rows are still counted
+                    # as late_ignored) — semantics identical to the join
+                    # path's Observation: up/del = source row won, late =
+                    # source row lost, bytes = all source rows' payload
+                    obs_pids = [s_["partition_id"] for s_ in input_stats]
+                    blen0 = (
+                        "octet_length(html)"
+                        if "html" in batch_df.columns
+                        else "cast(null as int)"
+                    )
+                    exprs = []
+                    for p in obs_pids:
+                        m = (
+                            "_msrc and _mpid is null"
+                            if p is None
+                            else f"_msrc and _mpid = {int(p)}"
+                        )
+                        tag = "null" if p is None else str(p)
+                        exprs.append(
+                            F.expr(
+                                f"named_struct("
+                                f"'up', sum(case when ({m}) and _rn = 1 and _mop != 'delete' then 1 else 0 end), "
+                                f"'del', sum(case when ({m}) and _rn = 1 and _mop = 'delete' then 1 else 0 end), "
+                                f"'late', sum(case when ({m}) and _rn > 1 then 1 else 0 end), "
+                                f"'b', cast(coalesce(sum(case when ({m}) then {blen0} end), 0) as bigint)"
+                                f") as pid_{tag}"
+                            )
+                        )
+                    obs = Observation(f"lineage_e{epoch_id}_v{version}")
+                    u = u.observe(obs, *exprs)
+                result = u.where(F.col("_rn") == 1).select(
+                    *[F.col(f"`{c}`") for c in user_cols],
+                    F.col("_mseq").alias(INTERNAL_SEQ),
+                    F.expr("case when _msrc then _mop = 'delete' else _mdel end").alias(
+                        INTERNAL_DELETED
+                    ),
+                    F.col("_bucket"),
+                )
+                prepart = True
+            else:
+                if cow_broadcast:
+                    # broadcast CDC-apply (round 6): the epoch's winners fit a
+                    # broadcast (prepare_epoch's map-side estimate), so the
+                    # WIDE TARGET NEVER ENTERS A JOIN EXCHANGE — updates are a
+                    # map-side target LEFT JOIN broadcast(batch), inserts a
+                    # batch ANTI JOIN over a column-pruned url-only target
+                    # scan. The only remaining full-width shuffle is the
+                    # bucket repartition before the write (the join path pays
+                    # that PLUS a both-sides url shuffle). Both branches are
+                    # packed into (t, s) STRUCT columns so every downstream
+                    # expression (winner predicate, per-column pick, lineage
+                    # Observation) is shared verbatim with the full-outer
+                    # path: t.url / s.`col` resolve as struct fields, a NULL
+                    # t struct behaves exactly like the outer join's
+                    # null-extended t side. Result rows are byte-identical
+                    # (tests/test_cow_broadcast.py).
+                    j = _cow_broadcast_plan(tgt, src)
+                else:
+                    j = tgt.alias("t").join(src.alias("s"), F.col("t.url") == F.col("s.url"), "full_outer")
+                # winner predicate + per-column pick, as SQL strings: one py4j
+                # round trip per column instead of the ~6 a when/otherwise
+                # column tree costs — this is per-epoch DRIVER time (serial at
+                # any cluster size; measured ~0.17s/epoch as column objects)
+                newer_sql = (
                     "(case when t.url is null then true "
                     "when s.url is null then false "
                     "else (s.warc_ts > t.warc_ts) or "
                     f"(s.warc_ts = t.warc_ts and s.seq > t.{INTERNAL_SEQ}) end)"
                 )
-                sp_sql = (
-                    f"cast(s.{source_partition_col} as int)"
-                    if source_partition_col in batch_df.columns
-                    else "cast(null as int)"
-                )
-                blen_sql = (
-                    "octet_length(s.html)"
-                    if "html" in batch_df.columns
-                    else "cast(null as int)"
-                )
-                exprs = []
-                for p in obs_pids:
-                    m = (
-                        f"({sh}) and ({sp_sql}) is null"
-                        if p is None
-                        else f"({sh}) and ({sp_sql}) = {int(p)}"
+                s_newer = F.expr(newer_sql)
+                # needed by the no-input_stats lineage fallback below (direct
+                # merge() callers; apply_epoch always passes input_stats and
+                # takes the Observation path instead)
+                s_here = F.col("s.url").isNotNull()
+                t_here = F.col("t.url").isNotNull()
+                pick = [
+                    F.expr(f"case when {newer_sql} then s.`{c}` else t.`{c}` end as `{c}`")
+                    for c in user_cols
+                ]
+                if collect_lineage and input_stats is not None:
+                    # COW lineage rides INSIDE the write job via an Observation
+                    # on the full-outer join (same lever the MoR path got one
+                    # round earlier): the outcome split per source partition is
+                    # collected map-side while the winners stream to parquet,
+                    # removing the separate narrow re-join job — one Spark job
+                    # barrier per epoch, pure serial time at any cluster size.
+                    # One F.expr per pid (a named_struct of the 4 aggregates):
+                    # column-object trees here cost ~30 py4j round trips per
+                    # pid of driver time.
+                    from pyspark.sql import Observation
+
+                    obs_pids = [s["partition_id"] for s in input_stats]
+                    sh = "s.url is not null"
+                    newer = (
+                        "(case when t.url is null then true "
+                        "when s.url is null then false "
+                        "else (s.warc_ts > t.warc_ts) or "
+                        f"(s.warc_ts = t.warc_ts and s.seq > t.{INTERNAL_SEQ}) end)"
                     )
-                    tag = "null" if p is None else str(p)
-                    exprs.append(
-                        F.expr(
-                            f"named_struct("
-                            f"'up', sum(case when ({m}) and ({newer}) and s.op != 'delete' then 1 else 0 end), "
-                            f"'del', sum(case when ({m}) and ({newer}) and s.op = 'delete' then 1 else 0 end), "
-                            f"'late', sum(case when ({m}) and not ({newer}) then 1 else 0 end), "
-                            f"'b', cast(coalesce(sum(case when ({m}) then {blen_sql} end), 0) as bigint)"
-                            f") as pid_{tag}"
+                    sp_sql = (
+                        f"cast(s.{source_partition_col} as int)"
+                        if source_partition_col in batch_df.columns
+                        else "cast(null as int)"
+                    )
+                    blen_sql = (
+                        "octet_length(s.html)"
+                        if "html" in batch_df.columns
+                        else "cast(null as int)"
+                    )
+                    exprs = []
+                    for p in obs_pids:
+                        m = (
+                            f"({sh}) and ({sp_sql}) is null"
+                            if p is None
+                            else f"({sh}) and ({sp_sql}) = {int(p)}"
                         )
-                    )
-                obs = Observation(f"lineage_e{epoch_id}_v{version}")
-                j = j.observe(obs, *exprs)
-            result = j.select(
-                *pick,
-                F.expr(
-                    f"case when {newer_sql} then s.seq else t.{INTERNAL_SEQ} end "
-                    f"as {INTERNAL_SEQ}"
-                ),
-                F.expr(
-                    f"case when {newer_sql} then s.op = 'delete' "
-                    f"else t.{INTERNAL_DELETED} end as {INTERNAL_DELETED}"
-                ),
-                # same bucket function as salt.bucket_expr (pmod/xxhash64
-                # with Spark's default seed 42)
-                F.expr(
-                    f"coalesce(s._bucket, pmod(xxhash64(t.url), {n_buckets})) as _bucket"
-                ),
-            )
+                        tag = "null" if p is None else str(p)
+                        exprs.append(
+                            F.expr(
+                                f"named_struct("
+                                f"'up', sum(case when ({m}) and ({newer}) and s.op != 'delete' then 1 else 0 end), "
+                                f"'del', sum(case when ({m}) and ({newer}) and s.op = 'delete' then 1 else 0 end), "
+                                f"'late', sum(case when ({m}) and not ({newer}) then 1 else 0 end), "
+                                f"'b', cast(coalesce(sum(case when ({m}) then {blen_sql} end), 0) as bigint)"
+                                f") as pid_{tag}"
+                            )
+                        )
+                    obs = Observation(f"lineage_e{epoch_id}_v{version}")
+                    j = j.observe(obs, *exprs)
+                result = j.select(
+                    *pick,
+                    F.expr(
+                        f"case when {newer_sql} then s.seq else t.{INTERNAL_SEQ} end "
+                        f"as {INTERNAL_SEQ}"
+                    ),
+                    F.expr(
+                        f"case when {newer_sql} then s.op = 'delete' "
+                        f"else t.{INTERNAL_DELETED} end as {INTERNAL_DELETED}"
+                    ),
+                    # same bucket function as salt.bucket_expr (pmod/xxhash64
+                    # with Spark's default seed 42)
+                    F.expr(
+                        f"coalesce(s._bucket, pmod(xxhash64(t.url), {n_buckets})) as _bucket"
+                    ),
+                )
 
         # one output file per touched bucket: repartition ON the bucket id,
         # cluster by url inside each file (O3, MERGE locality)
@@ -1417,22 +1549,25 @@ class SnapLake:
         # files when the epoch is small (file count tracks data, not
         # bucket count — a 50k-row epoch on a 4096-bucket table writes
         # ~64 files, not 4096 tiny ones)
-        if est_rows is None and input_stats is not None:
-            est_rows = sum(int(st["rows_in"]) for st in input_stats)
-        if est_rows is not None and carried_rows:
-            # a COW rewrite emits the carried target rows too — without
-            # them the modulus tracks batch size, not bytes written
-            est_rows += carried_rows
-        ft = self._write_modulus(n_buckets, est_rows)
-        if ft < n_buckets:
-            result = result.withColumn(
-                "_bucket", F.pmod(F.col("_bucket"), F.lit(ft))
+        if not prepart:
+            # (the window strategy computed ft/nparts up front and baked
+            # the modulus + repartition into its single exchange)
+            if est_rows is None and input_stats is not None:
+                est_rows = sum(int(st["rows_in"]) for st in input_stats)
+            if est_rows is not None and carried_rows:
+                # a COW rewrite emits the carried target rows too — without
+                # them the modulus tracks batch size, not bytes written
+                est_rows += carried_rows
+            ft = self._write_modulus(n_buckets, est_rows)
+            if ft < n_buckets:
+                result = result.withColumn(
+                    "_bucket", F.pmod(F.col("_bucket"), F.lit(ft))
+                )
+            nparts = max(
+                1,
+                min(ft if ft < n_buckets else (n_buckets if touched is None else len(touched)),
+                    spark.sparkContext.defaultParallelism),
             )
-        nparts = max(
-            1,
-            min(ft if ft < n_buckets else (n_buckets if touched is None else len(touched)),
-                spark.sparkContext.defaultParallelism),
-        )
         from cdc_engine import timing as _timing
         if _timing.enabled():
             # plan-construction span: everything from the manifest read to
@@ -1441,16 +1576,20 @@ class SnapLake:
             _timing.records.append(("merge_plan", time.monotonic() - _plan_t0))
             if mode != "mor":
                 _timing.records.append(
-                    ("cow_apply_broadcast" if cow_broadcast else "cow_apply_join", 0.0)
+                    (
+                        "cow_apply_broadcast"
+                        if cow_broadcast
+                        else ("cow_apply_window" if prepart else "cow_apply_join"),
+                        0.0,
+                    )
                 )
         with phase("data_write"):
-            (
-                result.repartition(nparts, F.col("_bucket"))
-                .sortWithinPartitions("url")
-                .write.mode("errorifexists")
-                .partitionBy("_bucket")
-                .parquet(out_abs)
+            out_df = (
+                result  # window strategy: already bucket-partitioned + sorted
+                if prepart
+                else result.repartition(nparts, F.col("_bucket")).sortWithinPartitions("url")
             )
+            out_df.write.mode("errorifexists").partitionBy("_bucket").parquet(out_abs)
 
         with phase("footer_stats"):
             new_files = _walk_bucket_files(
@@ -1598,6 +1737,42 @@ class SnapLake:
                         F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("rows_upserted"),
                         F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("rows_deleted"),
                         F.lit(None).cast("long").alias("rows_late_ignored"),
+                        F.coalesce(F.sum("b"), F.lit(0)).alias("bytes"),
+                    )
+                )
+                with phase("lineage_agg"):
+                    stats = stats.collect()
+            elif prepart:
+                # window-strategy direct-merge fallback: same outcome
+                # classification as the join path, read off the union+
+                # window relation (an extra job, exactly like the join
+                # fallback re-running the join on slim columns)
+                sp_col = F.col("_mpid")
+                outcome = (
+                    F.when(F.col("_rn") > 1, F.lit("late_ignored"))
+                    .when(F.col("_mop") == "delete", F.lit("deleted"))
+                    .when(F.col("_thit") == 0, F.lit("inserted"))
+                    .otherwise(F.lit("updated"))
+                )
+                stats = (
+                    u_win.where(F.col("_msrc"))
+                    .select(
+                        sp_col.alias("pid"), outcome.alias("oc"),
+                        F.col("_mseq").alias("seq"),
+                        (
+                            F.octet_length("html")
+                            if "html" in batch_df.columns
+                            else F.lit(None).cast("int")
+                        ).alias("b"),
+                    )
+                    .groupBy("pid")
+                    .agg(
+                        F.count("*").alias("rows_applied"),
+                        F.min("seq").alias("first_seq"),
+                        F.max("seq").alias("last_seq"),
+                        F.sum(F.when(F.col("oc").isin("inserted", "updated"), 1).otherwise(0)).alias("rows_upserted"),
+                        F.sum(F.when(F.col("oc") == "deleted", 1).otherwise(0)).alias("rows_deleted"),
+                        F.sum(F.when(F.col("oc") == "late_ignored", 1).otherwise(0)).alias("rows_late_ignored"),
                         F.coalesce(F.sum("b"), F.lit(0)).alias("bytes"),
                     )
                 )

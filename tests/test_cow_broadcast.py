@@ -53,30 +53,47 @@ def test_broadcast_and_join_paths_identical(spark, tmp_path, monkeypatch):
     # ratio would route target~batch epochs to the join path by design)
     a = _replay(
         spark, tmp_path, wal, "bcast",
-        CdcConfig(events_per_epoch=2_000, n_buckets=16, cow_broadcast_min_ratio=0),
+        CdcConfig(
+            events_per_epoch=2_000, n_buckets=16, cow_merge="join",
+            cow_broadcast_min_ratio=0,
+        ),
     )
     marks_a = {n for n, _ in timing.drain() if n.startswith("cow_apply")}
     b = _replay(
         spark, tmp_path, wal, "join",
-        CdcConfig(events_per_epoch=2_000, n_buckets=16, cow_broadcast_rows=0),
+        CdcConfig(
+            events_per_epoch=2_000, n_buckets=16, cow_merge="join",
+            cow_broadcast_rows=0,
+        ),
     )
     marks_b = {n for n, _ in timing.drain() if n.startswith("cow_apply")}
+    # round-7 default: the ONE-EXCHANGE union+window merge
+    c = _replay(
+        spark, tmp_path, wal, "window",
+        CdcConfig(events_per_epoch=2_000, n_buckets=16),
+    )
+    marks_c = {n for n, _ in timing.drain() if n.startswith("cow_apply")}
     assert marks_a == {"cow_apply_broadcast"}
     assert marks_b == {"cow_apply_join"}
+    assert marks_c == {"cow_apply_window"}
     assert a.state_hash(spark) == b.state_hash(spark)
+    assert a.state_hash(spark) == c.state_hash(spark)
 
     led_cols = ["epoch_id", "first_seq", "last_seq"]
     led_a = sorted(map(tuple, a.ledger_df(spark).select(*led_cols).toPandas().values.tolist()))
     led_b = sorted(map(tuple, b.ledger_df(spark).select(*led_cols).toPandas().values.tolist()))
-    assert led_a == led_b
+    led_c = sorted(map(tuple, c.ledger_df(spark).select(*led_cols).toPandas().values.tolist()))
+    assert led_a == led_b == led_c
 
     drop = {"apply_latency_ms", "snapshot_id", "table"}
     lin_a = a.lineage_df(spark).toPandas()
     lin_b = b.lineage_df(spark).toPandas()
-    cols = sorted(c for c in lin_a.columns if c not in drop)
+    lin_c = c.lineage_df(spark).toPandas()
+    cols = sorted(col for col in lin_a.columns if col not in drop)
     ka = sorted(map(tuple, lin_a[cols].fillna(-1).values.tolist()))
     kb = sorted(map(tuple, lin_b[cols].fillna(-1).values.tolist()))
-    assert ka == kb
+    kc = sorted(map(tuple, lin_c[cols].fillna(-1).values.tolist()))
+    assert ka == kb == kc
 
 
 def test_byte_threshold_falls_back_to_join(spark, tmp_path, monkeypatch):
@@ -87,7 +104,10 @@ def test_byte_threshold_falls_back_to_join(spark, tmp_path, monkeypatch):
     timing.drain()
     _replay(
         spark, tmp_path, wal, "gated",
-        CdcConfig(events_per_epoch=1_000, n_buckets=16, cow_broadcast_bytes=16),
+        CdcConfig(
+            events_per_epoch=1_000, n_buckets=16, cow_merge="join",
+            cow_broadcast_bytes=16,
+        ),
     )
     marks = {n for n, _ in timing.drain() if n.startswith("cow_apply")}
     assert marks == {"cow_apply_join"}
@@ -106,13 +126,19 @@ def test_ratio_gate_routes_by_carried_volume(spark, tmp_path, monkeypatch):
     timing.drain()
     # base replay, default config: every epoch's carried volume is within
     # a few x of its batch -> join path throughout
-    lake = _replay(spark, tmp_path, wal, "ratio", CdcConfig(events_per_epoch=2_000, n_buckets=16))
+    lake = _replay(
+        spark, tmp_path, wal, "ratio",
+        CdcConfig(events_per_epoch=2_000, n_buckets=16, cow_merge="join"),
+    )
     assert {n for n, _ in timing.drain() if n.startswith("cow_apply")} == {"cow_apply_join"}
 
     # a 100-event epoch against the 10k-event table: carried >> batch
     wal_small = _mk_wal(tmp_path, "ratio_small", n=100, per_epoch=100)
     batch = read_seq_range(spark, wal_small, 0, 100)
-    cfg = CdcConfig(events_per_epoch=100, n_buckets=16, cow_broadcast_min_ratio=3)
+    cfg = CdcConfig(
+        events_per_epoch=100, n_buckets=16, cow_merge="join",
+        cow_broadcast_min_ratio=3,
+    )
     prep = prepare_epoch(spark, lake, batch, 99, cfg, None, materialize=True)
     assert prep is not None and prep.cow_broadcast is True
     timing.drain()

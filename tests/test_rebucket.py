@@ -132,7 +132,13 @@ def test_rebucket_changes_feed_is_empty_and_mview_survives(spark, tmp_path):
     lake.merge(spark, _batch(spark, eps[2]), epoch_id=2)
     feed = lake.changes(spark, v_before)
     assert feed.where("change_type is null").count() == 0
-    assert feed.count() == 9  # epoch 2: 8 upserts + 1 delete, all distinct urls
+    # epoch 2 carries u/2 TWICE (upsert seq 22 + delete seq 29) — out of
+    # merge()'s one-row-per-url contract. The round-7 union+window apply
+    # resolves the within-batch LWW winner (u/2 -> delete), so the feed
+    # shows 8 logical changes (7 updates + 1 delete); the old full-outer
+    # join emitted BOTH matches (a stale live u/2 row next to its
+    # tombstone), inflating the feed to 9 with an artifact row.
+    assert feed.count() == 8
 
 
 def test_rebucket_replay_resume_exactly_once(spark, wal_basic, tmp_path):
