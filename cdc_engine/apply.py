@@ -177,6 +177,7 @@ def prepare_epoch(
     man: dict | None = None,
     entry: dict | None = ...,
     materialize: bool = False,
+    pid_bounds: tuple[int, int] | None = None,
 ) -> PreparedEpoch | None:
     """The state-independent half of the stats-job apply path: combined
     stats aggregate, quarantine write, LWW dedup plan, persist. Returns
@@ -184,11 +185,32 @@ def prepare_epoch(
     against the batch's actual seq range). ``materialize`` additionally
     forces the persisted winners to materialize NOW (one count action) so
     a prefetching caller pulls the dedup shuffle into the overlap window,
-    not just the stats job."""
+    not just the stats job.
+
+    ``pid_bounds``: WAL-footer (min, max) source_partition bound. With it
+    (and ``materialize``), the COW prepare runs as exactly ONE Spark job
+    (round 7, same lever _apply_mor_fast gave MoR a round earlier): the
+    per-pid input stats, quarantine counts and touched-bucket set ride an
+    Observation on the raw batch BELOW the valid-filter + LWW dedup, and
+    the cache-materializing winners aggregate is the only action — the
+    separate pre-dedup stats job (a full extra job barrier AND a second
+    WAL scan per epoch) disappears. Quarantined rows are persisted in one
+    extra job on that rare path only, still before the commit."""
     if man is None:
         man = lake.manifest()
     if entry is ...:
         entry = lake.ledger_entry(epoch_id, man)
+
+    if (
+        materialize
+        and pid_bounds is not None
+        and entry is None
+        and cfg.quarantine_invalid
+        and man.get("mode", "cow") == "cow"
+    ):
+        return _prepare_cow_one_job(
+            spark, lake, df, epoch_id, cfg, quarantine_dir, man, pid_bounds
+        )
 
     # P4: null-safe key guard — LWW is undefined for null url/warc_ts/seq
     valid = F.col("url").isNotNull() & F.col("warc_ts").isNotNull() & F.col("seq").isNotNull()
@@ -364,6 +386,133 @@ def prepare_epoch(
                 )
     return PreparedEpoch(
         epoch_id, df, persisted, input_stats, touched, mor_lineage_stats,
+        cow_broadcast, cfg.cow_merge,
+    )
+
+
+def _prepare_cow_one_job(
+    spark: SparkSession,
+    lake: SnapLake,
+    df: DataFrame,
+    epoch_id: int,
+    cfg: CdcConfig,
+    quarantine_dir: str | None,
+    man: dict,
+    pid_bounds: tuple[int, int],
+) -> PreparedEpoch | None:
+    """ONE-JOB COW prepare (see prepare_epoch docstring): input stats /
+    quarantine counts / touched buckets ride an Observation on the raw
+    batch; the winners-cache materialization aggregate is the only job.
+    The pid list unrolls from footer-stat bounds (conservative superset:
+    absent pids yield all-zero structs that are dropped), exactly the
+    _apply_mor_fast pattern."""
+    from pyspark.sql import Observation
+
+    n_buckets = man["n_buckets"]
+    has_sp = "source_partition" in df.columns
+    sp = "cast(source_partition as int)" if has_sp else "cast(null as int)"
+    pids: list[int | None] = (
+        list(range(pid_bounds[0], pid_bounds[1] + 1)) if has_sp else [None]
+    )
+    in_exprs = []
+    for p in pids:
+        m = f"({sp}) is null" if p is None else f"({sp}) = {int(p)}"
+        tag = "null" if p is None else str(p)
+        in_exprs.append(
+            F.expr(
+                "named_struct("
+                f"'seen', sum(case when ({m}) then 1 else 0 end), "
+                f"'q', sum(case when ({m}) and not ({_VALID_SQL}) then 1 else 0 end), "
+                f"'lo', min(case when ({m}) then seq end), "
+                f"'hi', max(case when ({m}) then seq end)"
+                f") as pid_{tag}"
+            )
+        )
+    in_exprs.append(
+        F.expr(
+            f"collect_set(case when ({_VALID_SQL}) "
+            f"then pmod(xxhash64(url), {n_buckets}) end) as _buckets"
+        )
+    )
+    in_exprs.append(F.expr("count(*) as _total"))
+    obs = Observation(f"prep_e{epoch_id}")
+    observed = df.observe(obs, *in_exprs)
+
+    winners = lww_dedup(
+        observed.where(F.expr(_VALID_SQL)),
+        key="url",
+        ts="warc_ts",
+        seq="seq",
+        strategy=cfg.dedup_strategy,
+        salt_buckets=cfg.salt_buckets,
+    )
+    if cfg.repartition_urls:
+        winners = salted_repartition(winners, "url", cfg.repartition_urls)
+    winners = winners.persist()
+    blen = (
+        F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).cast("long")
+        if "html" in winners.columns
+        else F.lit(0).cast("long")
+    )
+    with phase("prepare_one_job"):
+        mrow = winners.agg(F.count("*").alias("n"), blen.alias("b")).collect()[0]
+    vals = obs.get
+    if int(vals["_total"]) == 0:
+        winners.unpersist()
+        return None
+    per_pid = []
+    for p in pids:
+        tag = "null" if p is None else str(p)
+        st = vals[f"pid_{tag}"]
+        if int(st["seen"]) == 0:
+            continue  # footer-bound superset: pid absent this epoch
+        per_pid.append((p, st))
+    if sum(int(st["seen"]) for _p, st in per_pid) != int(vals["_total"]):
+        raise RuntimeError(
+            f"epoch {epoch_id}: source_partition values outside the "
+            f"footer-stat bound {pid_bounds} — WAL statistics are "
+            f"untrustworthy; rerun without the fast path"
+        )
+    input_stats = [
+        {
+            "partition_id": None if p is None else int(p),
+            "rows_in": int(st["seen"]) - int(st["q"]),
+            "rows_quarantined": int(st["q"]),
+            "first_seq": None if st["lo"] is None else int(st["lo"]),
+            "last_seq": None if st["hi"] is None else int(st["hi"]),
+            "bytes": None,  # filled by merge from the cached winners
+        }
+        for p, st in per_pid
+    ]
+    touched = sorted(int(b) for b in (vals["_buckets"] or []))
+    if quarantine_dir is not None and any(int(st["q"]) for _p, st in per_pid):
+        # rare path: persist quarantined rows in one extra job, before
+        # the commit (same ordering as the stats-job path)
+        df.where(~F.expr(_VALID_SQL)).write.mode("append").parquet(
+            os.path.join(quarantine_dir, f"epoch={epoch_id}")
+        )
+    if not touched:
+        winners.unpersist()
+        return None  # every row was quarantined; nothing to commit
+    cow_broadcast = False
+    if (
+        cfg.cow_merge == "join"
+        and cfg.cow_broadcast_rows > 0
+        and cfg.cow_broadcast_bytes > 0
+    ):
+        cow_broadcast = (
+            0 < int(mrow["n"]) <= cfg.cow_broadcast_rows
+            and int(mrow["b"]) <= cfg.cow_broadcast_bytes
+        )
+        if cow_broadcast and cfg.cow_broadcast_min_ratio > 0:
+            carried_bytes = sum(
+                int(f.get("bytes") or 0) for f in lake._files(man, set(touched))
+            )
+            cow_broadcast = (
+                carried_bytes >= cfg.cow_broadcast_min_ratio * int(mrow["b"])
+            )
+    return PreparedEpoch(
+        epoch_id, winners, winners, input_stats, touched, None,
         cow_broadcast, cfg.cow_merge,
     )
 

@@ -118,9 +118,12 @@ def replay(
             batch = read_seq_range(spark, wal_dir, k * e, (k + 1) * e)
             df = apply_mapping(batch, cfg.column_mapping)
             with phase("prepare_total"):
+                # pid_bounds (WAL footer stats) upgrade the prepare to the
+                # ONE-JOB path: stats/quarantine/touched ride the cache-
+                # materialize job's Observation (round 7)
                 return prepare_epoch(
                     spark, lake, df, k, cfg, cfg.quarantine_dir,
-                    materialize=True,
+                    materialize=True, pid_bounds=pid_bounds,
                 )
 
         with ThreadPoolExecutor(max_workers=1) as pool:
