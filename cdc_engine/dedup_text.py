@@ -365,12 +365,24 @@ def jaccard_rescore(
     (delta_lsh_candidates -> this, over corpus ∪ epoch) share the exact
     scoring code path with the full-corpus chain. Same in-row
     size(array_intersect) form and the same threshold_milli >= 1 contract
-    (zero-intersection candidates reach the filter as jacc_milli=0)."""
+    (zero-intersection candidates reach the filter as jacc_milli=0).
+
+    The per-doc token arrays carry xxhash64(token) LONGS, not the token
+    strings (round 7, guide §2.3 "narrower types"): the intersection
+    count — the only thing consumed — is invariant under any injective
+    token mapping, long equality beats UTF8 string equality inside the
+    per-pair hash probe, and the candidate-joined relation shrinks.
+    Collision bound: a false positive needs two DISTINCT tokens of one
+    compared pair to share a 64-bit hash — P ≈ (tokens-per-pair)²/2⁶⁴
+    per pair, ~1e-10 over millions of candidates, the same exactness
+    class as the md5-derived hashes the whole oracle family rides.
+    Measured at sf0.1 production banding: 6.2 -> 4.6 s, identical
+    output."""
     assert threshold_milli >= 1
     if tok is None:
         tok = doc_tokens(docs).select("doc_id", "w")
     arrs = tok.groupBy("doc_id").agg(
-        F.collect_list("w").alias("ws"), F.count("*").alias("n")
+        F.collect_list(F.xxhash64("w")).alias("ws"), F.count("*").alias("n")
     )
     a, b = arrs.alias("a"), arrs.alias("b")
     out = (
