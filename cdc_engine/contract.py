@@ -3238,59 +3238,10 @@ ORACLE_SQL["bpe_train"] = _bpe_train_oracle()
 # their first row); everything green in round N-1 rides the tail.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_replay_mini": q_cdc_replay_mini,  # flagship, always in-window
-    # ---- NEW in r6: need their first driver row ---------------------------
-    # (slots are inserted here as the round adds operators; 1+45+4 = 50)
-    "video_frame_features": q_video_frame_features,
-    "bpe_train": q_bpe_train,
-    "minhash_jaccard_est": q_minhash_jaccard_est,
-    "ann_recall_at_k": q_ann_recall_at_k,
-    # ---- r04-only driver rows, rotated back into the window ---------------
-    "ann_ivf_query_topk": q_ann_ivf_query_topk,
-    "lang_id": q_lang_id,
-    "quality_scores": q_quality_scores,
-    "doc_fingerprints": q_doc_fingerprints,
-    "text_extract_invariant": q_text_extract_invariant,
-    "dataset_splits": q_dataset_splits,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "approx_distinct_users": q_approx_distinct_users,
-    "denylist_scrub": q_denylist_scrub,
-    "repetition_stats": q_repetition_stats,
-    "epoch_stats": q_epoch_stats,
-    "neardup_components": q_neardup_components,
-    "jaccard_on_lsh": q_jaccard_on_lsh,
-    "rollup_pricing": q_rollup_pricing,
-    "sliding_window_counts": q_sliding_window_counts,
-    "tpch_q5_region": q_tpch_q5_region,
-    "session_windows": q_session_windows,
-    "json_props_extract": q_json_props_extract,
-    "dedup_canonical_map": q_dedup_canonical_map,
-    "embedding_neardup_pairs": q_embedding_neardup_pairs,
-    "multimodal_features": q_multimodal_features,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "multimodal_blob_meta": q_multimodal_blob_meta,
-    "lsh_candidates": q_lsh_candidates,
-    "minhash_signatures": q_minhash_signatures,
-    "ngram_jaccard": q_ngram_jaccard,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "token_counts": q_token_counts,
-    "scalar_url_extract": q_scalar_url_extract,
-    "time_bucket_hourly": q_time_bucket_hourly,
-    "approx_quantiles_value": q_approx_quantiles_value,
-    "stratified_sample": q_stratified_sample,
-    "ann_srp_buckets": q_ann_srp_buckets,
-    "simsearch_brute_topk": q_simsearch_brute_topk,
-    "lag_gap_audit": q_lag_gap_audit,
-    "dedup_exact_stats": q_dedup_exact_stats,
-    "pivot_daily_event_types": q_pivot_daily_event_types,
-    "boilerplate_share": q_boilerplate_share,
-    "asof_prior_click": q_asof_prior_click,
-    "vocab_df_topk": q_vocab_df_topk,
-    "ann_ivf_assign": q_ann_ivf_assign,
-    "union_schema_merge": q_union_schema_merge,
-    "broadcast_dim_join": q_broadcast_dim_join,
-    "tpch_q1_pricing": q_tpch_q1_pricing,
-    "tpch_q3_topk": q_tpch_q3_topk,
-    # ---- tail: green in r05, due back in the r07 window -------------------
+    # ---- r05-only driver rows, rotated back into the r07 window -----------
+    # (two-round-green invariant: 1 flagship + 49 queries whose last green
+    # row is CORRECTNESS_r05 = exactly the 50-entry driver cap; everything
+    # green in r06 rides the tail and is due back in r08)
     "simhash_candidates": q_simhash_candidates,
     "incremental_mv": q_incremental_mv,
     "line_dedup": q_line_dedup,
@@ -3340,4 +3291,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_survivors": q_neardup_survivors,
     "edit_distance_rescore": q_edit_distance_rescore,
     "kmeans_refine": q_kmeans_refine,
+    # ---- tail: green in r06, due back in the r08 window -------------------
+    "video_frame_features": q_video_frame_features,
+    "bpe_train": q_bpe_train,
+    "minhash_jaccard_est": q_minhash_jaccard_est,
+    "ann_recall_at_k": q_ann_recall_at_k,
+    "ann_ivf_query_topk": q_ann_ivf_query_topk,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "doc_fingerprints": q_doc_fingerprints,
+    "text_extract_invariant": q_text_extract_invariant,
+    "dataset_splits": q_dataset_splits,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "approx_distinct_users": q_approx_distinct_users,
+    "denylist_scrub": q_denylist_scrub,
+    "repetition_stats": q_repetition_stats,
+    "epoch_stats": q_epoch_stats,
+    "neardup_components": q_neardup_components,
+    "jaccard_on_lsh": q_jaccard_on_lsh,
+    "rollup_pricing": q_rollup_pricing,
+    "sliding_window_counts": q_sliding_window_counts,
+    "tpch_q5_region": q_tpch_q5_region,
+    "session_windows": q_session_windows,
+    "json_props_extract": q_json_props_extract,
+    "dedup_canonical_map": q_dedup_canonical_map,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "multimodal_features": q_multimodal_features,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "multimodal_blob_meta": q_multimodal_blob_meta,
+    "lsh_candidates": q_lsh_candidates,
+    "minhash_signatures": q_minhash_signatures,
+    "ngram_jaccard": q_ngram_jaccard,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "token_counts": q_token_counts,
+    "scalar_url_extract": q_scalar_url_extract,
+    "time_bucket_hourly": q_time_bucket_hourly,
+    "approx_quantiles_value": q_approx_quantiles_value,
+    "stratified_sample": q_stratified_sample,
+    "ann_srp_buckets": q_ann_srp_buckets,
+    "simsearch_brute_topk": q_simsearch_brute_topk,
+    "lag_gap_audit": q_lag_gap_audit,
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "pivot_daily_event_types": q_pivot_daily_event_types,
+    "boilerplate_share": q_boilerplate_share,
+    "asof_prior_click": q_asof_prior_click,
+    "vocab_df_topk": q_vocab_df_topk,
+    "ann_ivf_assign": q_ann_ivf_assign,
+    "union_schema_merge": q_union_schema_merge,
+    "broadcast_dim_join": q_broadcast_dim_join,
+    "tpch_q1_pricing": q_tpch_q1_pricing,
+    "tpch_q3_topk": q_tpch_q3_topk,
 }
+
