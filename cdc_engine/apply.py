@@ -348,11 +348,7 @@ def prepare_epoch(
         # estimated. Non-materializing callers (streaming apply_epoch,
         # cow_prefetch=0) keep the join path — gating there would cost
         # the extra job barrier this path gets for free.
-        blen = (
-            F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).cast("long")
-            if "html" in df.columns
-            else F.lit(0).cast("long")
-        )
+        blen = _payload_bytes_agg(df)
         with phase("prefetch_materialize"):
             mrow = df.agg(
                 F.count("*").alias("n"), blen.alias("b")
@@ -449,11 +445,7 @@ def _prepare_cow_one_job(
     if cfg.repartition_urls:
         winners = salted_repartition(winners, "url", cfg.repartition_urls)
     winners = winners.persist()
-    blen = (
-        F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).cast("long")
-        if "html" in winners.columns
-        else F.lit(0).cast("long")
-    )
+    blen = _payload_bytes_agg(winners)
     with phase("prepare_one_job"):
         mrow = winners.agg(F.count("*").alias("n"), blen.alias("b")).collect()[0]
     vals = obs.get
@@ -538,6 +530,30 @@ def commit_prepared(
 
 
 _VALID_SQL = "url is not null and warc_ts is not null and seq is not null"
+
+
+def _payload_bytes_agg(df: DataFrame):
+    """Broadcast-gate byte measurement: summed octet_length over EVERY
+    string/binary column (round-7 advice: the previous html-only sum fell
+    back to 0 for non-pages schemas, making the byte bound pass trivially
+    and resting the broadcast decision on row count alone). Used only for
+    the gate — lineage 'bytes' keeps its recorded html-payload meaning."""
+    from pyspark.sql import types as T
+
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.StringType, T.BinaryType))
+    ]
+    if not cols:
+        # no measurable payload: report a conservatively LARGE size so the
+        # byte bound never passes on an unmeasurable schema
+        return F.lit(1 << 62).cast("long")
+    total = None
+    for c in cols:
+        term = F.coalesce(F.octet_length(F.col(c)), F.lit(0)).cast("long")
+        total = term if total is None else total + term
+    return F.coalesce(F.sum(total), F.lit(0)).cast("long")
 
 
 def _apply_mor_fast(

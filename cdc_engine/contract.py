@@ -799,7 +799,10 @@ _SCORED_PAIRS_MEMO: dict = {}
 
 
 def _scored_pairs(spark, sf):
-    key = (id(spark), sf)
+    # keyed on a session-LIFETIME identifier + the resolved dir (round-7
+    # advice: id(spark) can be reused after a stopped session is GC'd,
+    # serving a persisted DataFrame bound to a dead session)
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf))
     df = _SCORED_PAIRS_MEMO.get(key)
     if df is None:
         docs = t(spark, sf, "documents")

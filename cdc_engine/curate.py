@@ -40,7 +40,7 @@ def curate(
     *,
     neardup: bool = True,
     k: int = 8,
-    band_rows: int = 2,
+    band_rows: int = 4,
     threshold_milli: int = 600,
     min_words: int = 25,
     max_words: int = 90,
@@ -176,8 +176,25 @@ def curate(
         # materialize the result before unpersisting its inputs; curated
         # stays cached for the caller's write
         curated = curated.persist()
-        curated.count()  # finalize job: funnel + join + split + both obs
-        funnel_counts = obs_fun.get
+        n_curated = curated.count()  # finalize job: funnel + join + split + both obs
+        if n_curated == 0:
+            # obs_fun rides the join's BUILD side (fun -> keep): under AQE
+            # an Observation on the build side can surface no metrics when
+            # the join output is empty — reachable when the funnel rejects
+            # EVERY doc (strict --min-words/--max-words on a small corpus;
+            # round-7 advice). Fall back to a direct narrow aggregate over
+            # the funnel relation on that rare path (join count == funnel
+            # pass count, so empty output <=> zero passes).
+            row = fun.agg(
+                *[
+                    F.sum(F.when(F.col("first_fail") == s, 1).otherwise(0)).alias(s)
+                    for s in fun_stages
+                ],
+                F.sum(F.when(F.col("passed") == 1, F.col("n_words"))).alias("_nw"),
+            ).collect()[0]
+            funnel_counts = row.asDict()
+        else:
+            funnel_counts = obs_fun.get
         report["funnel"] = {s: int(funnel_counts[s] or 0) for s in fun_stages}
         report["after_quality"] = report["funnel"]["pass"]
         report["n_words_curated"] = int(funnel_counts["_nw"] or 0)
@@ -225,7 +242,7 @@ def curate_incremental(
     *,
     neardup: bool = True,
     k: int = 8,
-    band_rows: int = 2,
+    band_rows: int = 4,
     threshold_milli: int = 600,
     min_words: int = 25,
     max_words: int = 90,
@@ -356,6 +373,12 @@ def curate_incremental(
             ).select(*base_cols, F.col("clean_text").alias("text"))
         )
         report["docs_in"] = e1.count()
+        if report["docs_in"] == 0:
+            # uniform with the non-bootstrap monotone-id guard: an empty
+            # epoch must fail loudly BEFORE any state commit — on a fresh
+            # state it previously slipped through to _commit_state and
+            # died opaquely on int(None) from max(doc_id) (round-7 advice)
+            raise ValueError("empty epoch")
         pii = obs_pii.get
         report["pii_redactions"] = {
             "emails": int(pii["e"] or 0),
@@ -538,20 +561,27 @@ def curate_incremental(
 
 def _commit_state(spark, state_dir, meta, n_epoch, e1, e2, bn, labels, merged, is_old):
     """State writes: epoch subdirs first, _META.json LAST — the commit
-    point; an interrupted run leaves orphan subdirs readers never list."""
+    point; an interrupted run leaves orphan subdirs readers never list.
+    Subdir writes use mode('overwrite'), NOT errorifexists (round-7
+    advice): uncommitted e{n}/v{n} dirs are invisible to readers (only
+    _META.json's epoch list is read), but a crash between the first
+    subdir write and the meta rename used to leave orphans that made any
+    RETRY of the same epoch fail with 'path already exists' — wedging
+    the state dir permanently. Overwriting crash debris is safe exactly
+    because it was never committed."""
     import json
     import os
 
     e2.select(
         F.md5("text").alias("hash"), F.col("doc_id").alias("canonical_id")
-    ).write.mode("errorifexists").parquet(
+    ).write.mode("overwrite").parquet(
         os.path.join(state_dir, "seen", f"e{n_epoch}")
     )
-    e2.select("doc_id", "text", "lang").write.mode("errorifexists").parquet(
+    e2.select("doc_id", "text", "lang").write.mode("overwrite").parquet(
         os.path.join(state_dir, "corpus", f"e{n_epoch}")
     )
     if bn is not None:
-        bn.write.mode("errorifexists").parquet(
+        bn.write.mode("overwrite").parquet(
             os.path.join(state_dir, "index", f"e{n_epoch}")
         )
         # labels rewrite: relabel bridged old components, append the
@@ -582,7 +612,7 @@ def _commit_state(spark, state_dir, meta, n_epoch, e1, e2, bn, labels, merged, i
             if labels_next is not None
             else epoch_labels
         )
-        labels_next.write.mode("errorifexists").parquet(
+        labels_next.write.mode("overwrite").parquet(
             os.path.join(state_dir, "labels", f"v{v_next}")
         )
         meta["labels_version"] = v_next

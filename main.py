@@ -230,7 +230,9 @@ def main(argv: list[str] | None = None) -> None:
                         "survivors to --out and bridged-component "
                         "retractions to <out>_retractions")
     p.add_argument("--k", type=int, default=8, help="minhash signature length")
-    p.add_argument("--band-rows", type=int, default=2, help="rows per LSH band")
+    p.add_argument("--band-rows", type=int, default=4, help="rows per LSH band "
+                   "(4 = the de-degenerated r6 contract setting; 2-token bands "
+                   "keep ~85% of all pairs on self-similar corpora)")
     p.add_argument("--threshold-milli", type=int, default=600,
                    help="near-dup Jaccard threshold in 1/1000 units")
     p.add_argument("--min-words", type=int, default=25,
