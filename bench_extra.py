@@ -98,6 +98,12 @@ def _steps(spark):
         "hybrid_rrf",
         "video_frame_features",
         "tpch_q5_region",
+        "ann_srp_buckets",
+        "dup_ngram_share",
+        "quality_funnel",
+        "pq_encode",
+        "quality_scores",
+        "winnow_fingerprints",
     ]:
         steps[name] = (lambda n: lambda: QUERIES[n](spark, SF_DIR))(name)
     return steps

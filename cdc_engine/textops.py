@@ -646,6 +646,11 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]] | None = None) -> 
     )
 
 
+# re-segmentation checkpoint cadence for bpe_train: the lazy replace chain
+# is truncated (vocab relation re-materialized) every this many rounds
+_RESEG_CKPT_EVERY = 16
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     """The BPE vocabulary-induction LOOP (Sennrich et al. 2016) — the
     training half whose single statistics round is ``bpe_pair_topk`` and
@@ -665,15 +670,25 @@ def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     1-row bounded collect (the merge table IS the driver-side output,
     like salt.py's top-k handoff).
 
+    Plan-depth bound (round 7): every ``_RESEG_CKPT_EVERY`` rounds the
+    re-segmented vocab relation is MATERIALIZED (persist + count) and the
+    replace chain restarts from the fresh relation — the same per-round
+    truncation discipline as connected_components' checkpoints, so driver
+    plan-build time stays bounded for real 32k-vocab inductions instead
+    of growing linearly in rounds (values are identical either way; the
+    8-round contract query never reaches the first checkpoint, so its
+    execution is byte-for-byte the old one).
+
     Returns the learned merge table: (rank, a, b, cnt) — rank-ordered,
     directly freezable as a ``bpe_encode`` merges list."""
-    wf = (
+    base = (
         docs.select(F.explode(tokens_expr()).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("wf"))
         .select(F.regexp_replace(F.col("w"), "(.)", "_$1").alias("r"), "wf")
-        .persist()
     )
+    wf = base.persist()
+    pinned = [wf]
     empty_s = F.array().cast("array<string>")
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -716,11 +731,18 @@ def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
             a, b = best[0]["p"].split("_")
             merges.append((rank, a, b, int(best[0]["n"])))
             rep = F.replace(rep, F.lit(f"_{a}_{b}"), F.lit(f"_{a}{b}"))
+            if rank % _RESEG_CKPT_EVERY == 0 and rank < n_merges:
+                nxt = wf.select(rep.alias("r"), "wf").persist()
+                nxt.count()  # materialize BEFORE dropping the predecessor
+                pinned.append(nxt)
+                wf.unpersist()
+                wf, rep = nxt, F.col("r")
         return docs.sparkSession.createDataFrame(
             merges, "rank int, a string, b string, cnt long"
         )
     finally:
-        wf.unpersist()
+        for df in pinned:
+            df.unpersist()
 
 
 def unigram_logprob(docs: DataFrame) -> DataFrame:

@@ -146,3 +146,45 @@ def test_bpe_train_output_freezes_into_encode(spark):
 
         words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
         assert out[doc_id]["n_subtokens"] == sum(_encode_py(w, table) for w in words)
+
+
+def test_bpe_train_deep_run_checkpoints_and_keeps_prefix(spark):
+    """Round-7 plan-depth bound: a deep training run (2.5x the checkpoint
+    cadence) must complete with bounded driver plan-build time — the lazy
+    replace chain is truncated every _RESEG_CKPT_EVERY rounds — and BPE's
+    greedy-prefix property must hold: the first 8 merges of the deep run
+    equal the 8-round train exactly (checkpointing cannot change values)."""
+    import time
+
+    from cdc_engine.textops import _RESEG_CKPT_EVERY, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (i, t)
+            for i, t in enumerate(
+                [
+                    "the quick brown fox jumps over the lazy dog",
+                    "pack my box with five dozen liquor jugs",
+                    "how vexingly quick daft zebras jump",
+                    "sphinx of black quartz judge my vow",
+                    "the five boxing wizards jump quickly",
+                ]
+                * 4
+            )
+        ],
+        "doc_id int, text string",
+    )
+    deep_rounds = _RESEG_CKPT_EVERY * 2 + _RESEG_CKPT_EVERY // 2
+    jsc = spark.sparkContext._jsc.sc()
+    persisted_before = jsc.getPersistentRDDs().size()
+    t0 = time.monotonic()
+    deep = bpe_train(docs, n_merges=deep_rounds).collect()
+    wall = time.monotonic() - t0
+    shallow = bpe_train(docs, n_merges=8).collect()
+    assert [tuple(r) for r in deep[:8]] == [tuple(r) for r in shallow]
+    assert len(deep) <= deep_rounds
+    # bounded wall: a linearly-growing plan chain blows past this long
+    # before 40 rounds on this corpus size
+    assert wall < 120, wall
+    # no persisted relations leaked by the checkpoint swaps
+    assert jsc.getPersistentRDDs().size() == persisted_before
