@@ -88,7 +88,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     32-way exchange under a 5-row table is pure scheduling overhead. The
     size gate makes this scale-adaptive: a production-size table scans as
     many partitions already and is left alone. The gate is pure file-stat
-    arithmetic — no .rdd partition probe (that forces physical planning,
+    arithmetic — no partition probe (that forces physical planning,
     ~0.2-0.4 s of driver time per call; measured as a uniform tax on every
     sub-second bench entry) — and the result is marked so downstream
     operators' spread() is a free no-op."""

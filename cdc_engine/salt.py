@@ -34,13 +34,15 @@ def spread(df: DataFrame) -> DataFrame:
     embeddings/documents parquet files are single-row-group and scanned
     as exactly one partition, so every per-row operator was serial.
 
-    The partition-count probe (``df.rdd``) forces physical planning —
-    ~0.2-0.4 s of pure driver time per call on this VM, which measurably
-    taxed every sub-second query when the probe ran per ``t()`` load. So
-    the probe runs at most ONCE per DataFrame object: the decision is
-    memoized on the instance (``_cdc_spread``), and callers that already
-    know the answer (contract.t's file-size gate) pre-mark their outputs
-    instead of probing at all."""
+    The partition-count probe forces physical planning — ~0.2-0.4 s of
+    pure driver time per call on this VM, which measurably taxed every
+    sub-second query when the probe ran per ``t()`` load. So the probe
+    runs at most ONCE per DataFrame object: the decision is memoized on
+    the instance (``_cdc_spread``), and callers that already know the
+    answer (contract.t's file-size gate) pre-mark their outputs instead
+    of probing at all. The probe reads the JVM plan's partition count
+    directly (queryExecution().toRdd() — metadata only, no job, and no
+    Python-conversion layer in the probed plan)."""
     import os
 
     if os.environ.get("CDC_SPREAD") == "0":  # A/B escape hatch
@@ -52,7 +54,8 @@ def spread(df: DataFrame) -> DataFrame:
         return memo  # previously computed spread version of this object
     try:
         par = df.sparkSession.sparkContext.defaultParallelism
-        out = df.repartition(par) if df.rdd.getNumPartitions() < par else df
+        nparts = df._jdf.queryExecution().toRdd().getNumPartitions()
+        out = df.repartition(par) if nparts < par else df
         out._cdc_spread = True
         df._cdc_spread = out
         return out
