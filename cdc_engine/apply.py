@@ -126,6 +126,9 @@ def apply_epoch(
         expected_seq_range is not None
         and pid_bounds is not None
         and man.get("mode", "cow") == "mor"
+        # obs_in sits BELOW the write-path dedup; keybroadcast references
+        # its input twice and would double-count the input stats
+        and not (cfg.mor_write_dedup and cfg.dedup_strategy == "keybroadcast")
     ):
         return _apply_mor_fast(
             spark, lake, df, epoch_id, cfg, quarantine_dir,
@@ -207,6 +210,10 @@ def prepare_epoch(
         and entry is None
         and cfg.quarantine_invalid
         and man.get("mode", "cow") == "cow"
+        # keybroadcast dedup references its input TWICE (narrow agg +
+        # semi-join) — an Observation below it would double-count; the
+        # one-job path requires a single-reference dedup strategy
+        and cfg.dedup_strategy != "keybroadcast"
     ):
         return _prepare_cow_one_job(
             spark, lake, df, epoch_id, cfg, quarantine_dir, man, pid_bounds
