@@ -226,8 +226,63 @@ def lsh_candidate_pairs(
     """LSH: band the k-row signature into k/band_rows bands; docs sharing
     ANY band bucket are candidates. The join is on (band, band_key) —
     never all-pairs. Returns distinct (da, db). ``tok`` forwards a shared
-    token relation to the signature stage (see minhash_signatures)."""
-    banded = banded_signatures(docs, k, band_rows, tok=tok)
+    token relation to the signature stage (see minhash_signatures).
+
+    First-agreeing-band emission (round 7, guide §2.4 "remove shuffles
+    outright"): a pair sharing s bands used to be emitted s times by the
+    band join and deduplicated with a full exchange+AGGREGATE over the
+    exploded pair set (`.distinct()` — the single most expensive node of
+    the chain on a self-similar corpus, where near-identical docs agree in
+    EVERY band so the dedup input is ~n_bands x the pair set). Instead,
+    each banded row carries ALL of its doc's band keys as plain columns
+    and the join emits a pair ONLY at its first agreeing band
+    (band b emits iff keys 0..b-1 all differ): output rows are unique by
+    construction and the dedup aggregate disappears. Two measured
+    subtleties (interleaved sf0.1 A/Bs, identical output sets asserted):
+    * The earlier-band check must be an UNROLLED boolean chain over
+      per-band key COLUMNS — whole-stage codegen — not a zip_with/slice
+      HOF over a key array, which is interpreted per joined row and
+      measured SLOWER than the distinct it replaces (HOF 2.9 s vs 2.2 s
+      baseline vs 1.3 s unrolled at k=24/band_rows=8).
+    * The distinct was ALSO load-balancing the candidate explosion before
+      the downstream per-pair scoring (array_intersect / levenshtein —
+      expensive per row), which otherwise runs skewed on the band-
+      partitioned join output: dropping the exchange entirely made the
+      full jaccard chain 4.1 -> 7.8 s. The closing repartition(da, db)
+      keeps the balance at the same byte cost the distinct's exchange
+      paid, minus its two-phase dedup hash tables: full chain 4.1 ->
+      2.6 s, prefix-edit rescore 4.0 -> 2.8 s, isolated candidates 3.0 ->
+      1.8 s at (8,4). Carrying n_bands keys per banded row ~triples the
+      byte-small banded exchange but removes the pair-sized aggregate —
+      the right trade at any scale."""
+    agg = _minhash_agg(docs, k, tok)
+    n_bands = (k + band_rows - 1) // band_rows
+
+    def _bk(b: int):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"_m{i}").cast("string")
+                    for i in range(b * band_rows, min((b + 1) * band_rows, k))
+                ],
+            )
+        )
+
+    wide = agg.select("doc_id", *[_bk(b).alias(f"_k{b}") for b in range(n_bands)])
+    banded = wide.select(
+        "doc_id",
+        *[F.col(f"_k{b}") for b in range(n_bands)],
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    F.col(f"_k{b}").alias("band_key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("_b"),
+    ).select("doc_id", "_b.band", "_b.band_key", *[f"_k{b}" for b in range(n_bands)])
     # explosion-aware repartition: the banded relation is BYTE-small (md5
     # band keys compress to a few MB), so AQE's byte-based partition
     # coalescing collapses the self-join to ONE task — but the join's
@@ -239,15 +294,22 @@ def lsh_candidate_pairs(
     par = banded.sparkSession.sparkContext.defaultParallelism
     banded = banded.repartition(par, "band", "band_key")
     x, y = banded.alias("x"), banded.alias("y")
+    first_agreement = F.lit(False)
+    for b in range(n_bands):
+        c = F.col("x.band") == b
+        for j in range(b):
+            c = c & (F.col(f"x._k{j}") != F.col(f"y._k{j}"))
+        first_agreement = first_agreement | c
     return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & first_agreement,
         )
         .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
-        .distinct()
+        .repartition(par, "da", "db")
     )
 
 
@@ -512,7 +574,19 @@ def simhash_candidate_pairs(
     chain, the band relation is explicitly repartitioned so AQE's
     byte-based coalescing can't serialize the candidate explosion. Pure
     Catalyst end-to-end (shift/mask/xor/bit_count), so the DuckDB oracle
-    reproduces it bit-for-bit."""
+    reproduces it bit-for-bit.
+
+    First-agreeing-band emission (round 7, same lever as
+    lsh_candidate_pairs, and cheaper here: every band key is derivable
+    in-row from the fingerprints the rows already carry, so no extra
+    columns cross the exchange at all): a pair is emitted only at the
+    first band where the fingerprints agree — all earlier bands must
+    differ, an unrolled codegen'd shift/mask chain — so the join output is
+    unique by construction and the `.distinct()` exchange over the
+    (da, db, fa, fb) candidate explosion disappears. On a self-similar
+    corpus identical fingerprints agree in ALL bands, so the removed dedup
+    input was ~bands x the pair set. Interleaved sf0.1 A/B: 2.26 -> 1.72 s,
+    identical output set."""
     assert SIMHASH_BITS % bands == 0 and max_hamming < bands
     w = SIMHASH_BITS // bands
     mask = (1 << w) - 1
@@ -536,24 +610,31 @@ def simhash_candidate_pairs(
     par = banded.sparkSession.sparkContext.defaultParallelism
     banded = banded.repartition(par, "band", "key")
     x, y = banded.alias("x"), banded.alias("y")
+    fa, fb = F.col("x.simhash"), F.col("y.simhash")
+
+    def _band_differs(j: int):
+        return F.shiftright(fa, j * w).bitwiseAND(F.lit(mask)) != F.shiftright(
+            fb, j * w
+        ).bitwiseAND(F.lit(mask))
+
+    first_agreement = F.lit(False)
+    for b in range(bands):
+        c = F.col("x.band") == b
+        for j in range(b):
+            c = c & _band_differs(j)
+        first_agreement = first_agreement | c
     return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & first_agreement,
         )
         .select(
             F.col("x.doc_id").alias("da"),
             F.col("y.doc_id").alias("db"),
-            F.col("x.simhash").alias("fa"),
-            F.col("y.simhash").alias("fb"),
-        )
-        .distinct()
-        .select(
-            "da",
-            "db",
-            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int").alias("hamming"),
+            F.bit_count(fa.bitwiseXOR(fb)).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
     )
