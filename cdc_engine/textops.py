@@ -172,20 +172,19 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     top-k.
 
     Scale shape (the 100 TB story): one groupBy (doc_id, w) for tf with
-    map-side combine, one groupBy (w) for df, one shuffle join on w, one
-    window over doc_id for the top-k — every step keyed, nothing
-    pairwise; the same shape as vocab_df_topk with a join-back. Pure
-    Catalyst, no Python."""
+    map-side combine, df derived from the tf relation (tf is already
+    (doc_id, w)-unique, so df(w) is its per-w row count; note this is
+    physically the SAME plan as the previous explicit distinct+groupBy —
+    Catalyst prunes the unused count from the df branch, so no exchange
+    is saved, measured neutral at sf0.1 — kept as the clearer statement
+    of the dependency), one shuffle join on w, one window over doc_id for
+    the top-k — every step keyed, nothing pairwise; the same shape as
+    vocab_df_topk with a join-back. Pure Catalyst, no Python."""
     from pyspark.sql import Window
 
     tok = docs.select("doc_id", F.explode(tokens_expr()).alias("w"))
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dfc = (
-        tok.select("doc_id", "w")
-        .distinct()
-        .groupBy("w")
-        .agg(F.count("*").alias("df"))
-    )
+    dfc = tf.groupBy("w").agg(F.count("*").alias("df"))
     # corpus size rides the plan as a broadcast 1-row relation — no
     # driver-side count action
     nrel = docs.agg(F.count("text").cast("double").alias("_n"))
