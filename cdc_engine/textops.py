@@ -416,7 +416,12 @@ def line_dedup(docs: DataFrame, col: str = "text", min_df: int = 3) -> DataFrame
     back, and rebuild each doc with one groupBy(doc_id) + array_sort over
     (pos, line) structs — every step keyed, nothing pairwise, no global
     window. The rebuild shuffle reuses the same doc_id key a downstream
-    per-doc op would need anyway.
+    per-doc op would need anyway. Per-doc line totals are IN-ROW
+    (size(split(text))) on the base projection — round 7: the previous
+    separate explode -> groupBy(doc_id) -> join branch was a whole extra
+    corpus pass (plus exchange and join) for a number each row already
+    knows; size(split) counts exactly what posexplode emits, asserted
+    equal including the NULL / '' / all-boilerplate edges.
 
     Returns doc_id, n_lines, n_removed, clean_text ('' when every line was
     boilerplate or the doc was empty; NULL text stays NULL)."""
@@ -436,22 +441,22 @@ def line_dedup(docs: DataFrame, col: str = "text", min_df: int = 3) -> DataFrame
             "\n",
         ).alias("clean_text"),
     )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    return (
-        docs.select("doc_id", F.col(col).isNull().alias("_null_text"))
-        .join(totals, "doc_id", "left")
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias("n_lines"),
-            (
-                F.coalesce(F.col("n_lines"), F.lit(0).cast("long"))
-                - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
-            ).alias("n_removed"),
-            F.when(F.col("_null_text"), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col("clean_text"), F.lit("")))
-            .alias("clean_text"),
-        )
+    base = docs.select(
+        "doc_id",
+        F.col(col).isNull().alias("_null_text"),
+        F.when(F.col(col).isNull(), F.lit(0).cast("long"))
+        .otherwise(F.size(F.split(F.col(col), "\n")).cast("long"))
+        .alias("n_lines"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        (
+            F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+        ).alias("n_removed"),
+        F.when(F.col("_null_text"), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("clean_text"), F.lit("")))
+        .alias("clean_text"),
     )
 
 
